@@ -1,0 +1,35 @@
+"""Array backends for the ring layer.
+
+- `golden`: exact numpy int64 arithmetic — the oracle every other backend must
+  match limb-for-limb (replaces the reference's Lol/lol-cpp as the semantics
+  pin, SURVEY.md §7 step 1).
+- `xla`: jnp uint32 lane arithmetic (Shoup / split-Barrett), jit-able, runs on
+  CPU and TPU; bit-identical to golden.
+- `pallas`: hand-written TPU kernels for the hot ops (NTT, fused ct ops).
+"""
+
+from alchemy_tpu.backend.golden import GoldenBackend
+
+_GOLDEN = GoldenBackend()
+_XLA = None
+
+
+def golden() -> GoldenBackend:
+    return _GOLDEN
+
+
+def xla():
+    global _XLA
+    if _XLA is None:
+        from alchemy_tpu.backend.xla import XlaBackend
+
+        _XLA = XlaBackend()
+    return _XLA
+
+
+def get_backend(name: str):
+    if name == "golden":
+        return golden()
+    if name == "xla":
+        return xla()
+    raise ValueError(f"unknown backend {name!r}")
