@@ -1,0 +1,69 @@
+"""ERW — error-rate instrumentation (reference Interpreter/ErrorRateWriter.hs).
+
+The reference rewrites the object program into a Kleisli program over an
+object-language writer monad, logging `(opName ++ modulus, errorRate)` after
+every ciphertext-producing op (ErrorRateWriter.hs:70-75, 85-106). The
+TPU-native equivalent (SURVEY.md §3.5) is an instrumented evaluation mode:
+same IR, same log format `[(str, float)]`, with the secret keys looked up
+from the KeysHints context (debug/observability mode — requires keys)."""
+
+from __future__ import annotations
+
+from alchemy_tpu.interp import eval as _eval_mod
+from alchemy_tpu.interp.eval import _eval, _prim_value  # reuse the evaluator core
+from alchemy_tpu.interp.keys_hints import KeysHints
+from alchemy_tpu.lang.ir import App, Lam, Node, Prim, Var
+from alchemy_tpu.she import bgv
+from alchemy_tpu.she.ct import CT
+
+#: ops that produce ciphertexts and are probed (ErrorRateWriter.hs:108-198)
+_PROBED = {
+    "add_", "neg_", "mul_", "addLit_", "mulLit_", "div2_",
+    "modSwitchPT_", "modSwitch_", "addPublic_", "mulPublic_",
+    "keySwitchQuad_", "tunnel_",
+}
+
+
+def _zq_str(qs) -> str:
+    return "Zq[" + ",".join(str(q) for q in qs) + "]"
+
+
+class _Probe:
+    def __init__(self, ctx: KeysHints, log: list):
+        self.ctx = ctx
+        self.log = log
+
+    def wrap(self, name: str, v):
+        if callable(v):
+            return lambda x: self.wrap(name, v(x))
+        if isinstance(v, CT):
+            sk = self.ctx.lookup_key(v.m_prime)
+            if sk is not None:
+                self.log.append((f"{name}{_zq_str(v.qs)}", bgv.error_rate(sk, v)))
+        return v
+
+
+def eval_with_error_rates(expr: Node, ctx: KeysHints, *args):
+    """Evaluate a (compiled) expression, returning (result, error_rate_log).
+    The log is the reference's ErrorRateLog: [(op ++ modulus, rate)]."""
+    log: list[tuple[str, float]] = []
+    probe = _Probe(ctx, log)
+
+    def ev(node: Node, env: tuple):
+        if isinstance(node, Var):
+            return env[node.idx]
+        if isinstance(node, Lam):
+            return lambda v: ev(node.body, (v,) + env)
+        if isinstance(node, App):
+            return ev(node.f, env)(ev(node.a, env))
+        if isinstance(node, Prim):
+            v = _prim_value(node.name, node.payload)
+            if node.name in _PROBED:
+                return probe.wrap(node.name, v)
+            return v
+        raise TypeError(node)
+
+    v = ev(expr, ())
+    for a in args:
+        v = v(a)
+    return v, log

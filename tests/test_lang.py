@@ -1,0 +1,102 @@
+"""Language layer: DSL construction, interpreters, inference, PT2CT rules."""
+
+import numpy as np
+import pytest
+
+from alchemy_tpu.backend import golden
+from alchemy_tpu.core.cyc import Cyc
+from alchemy_tpu.core.params import RnsChain
+from alchemy_tpu.interp import dup, pprint, size
+from alchemy_tpu.interp.eval import eval_ir
+from alchemy_tpu.interp.infer import Inference
+from alchemy_tpu.interp.noise import FunTy, NoiseLedger, PtTy
+from alchemy_tpu.interp.params_print import params
+from alchemy_tpu.lang.dsl import add_lit_n, div2, lam, lam2, let_
+from alchemy_tpu.nt.factor import totient
+
+BK = golden()
+
+addMul = lam2(lambda x, y: (x + y) * y)
+
+
+def test_pprint_matches_reference_format():
+    assert pprint(addMul) == "(\\v0 -> (\\v1 -> ((mul ((add v0) v1)) v1)))"
+
+
+def test_size():
+    # lam=+1 each (2), mul+add prims (2), three vars (3)
+    assert size(addMul) == 7
+
+
+def test_dup_shares():
+    a, b = dup(addMul)
+    assert a is b
+
+
+def test_eval_plaintext():
+    p = 7
+    a = Cyc.from_coeffs(4, (p,), [1, 2], BK)
+    b = Cyc.from_coeffs(4, (p,), [3, 4], BK)
+    got = eval_ir(addMul, a, b)
+    want = (a + b) * b
+    assert got.equals(want)
+
+
+def test_let_sharing():
+    p = 7
+    e = lam(lambda x: let_(x + x, lambda y: y * y))
+    a = Cyc.from_coeffs(4, (p,), [1, 2], BK)
+    got = eval_ir(e, a)
+    want = (a + a) * (a + a)
+    assert got.equals(want)
+
+
+def test_inference_addmul():
+    # Arithmetic chain: units 4,3,4
+    zqs = RnsChain([268440577, 8392193, 1073750017])
+    inf = Inference(NoiseLedger(zqs))
+    inf.run(addMul, PtTy(0, 4, 7))
+    t = inf.tref(addMul).ty
+    assert isinstance(t, FunTy)
+    arg = inf.resolved_pt(t.arg)
+    # mul out p=0 → needs 0+3 muls → units 5 → prefix 2 limbs (7 units) → pin 5
+    assert arg == PtTy(5, 4, 7)
+
+
+def test_inference_div2_changes_zp():
+    zqs = RnsChain([268440577, 8392193, 1073750017])
+    e = lam(lambda x: div2(x))
+    inf = Inference(NoiseLedger(zqs))
+    inf.run(e, PtTy(0, 4, 8))
+    arg = inf.resolved_pt(inf.tref(e).ty.arg)
+    assert arg == PtTy(0, 4, 16)
+
+
+def test_noise_ledger_constants():
+    from alchemy_tpu.interp import noise
+
+    assert noise.MIN_UNITS == 2
+    assert noise.MUL_PNOISE == 3
+    assert noise.KS_ACCUM_PNOISE == 2
+    assert noise.MAX_32BIT_UNITS == 5
+    assert noise.TUNNEL_PNOISE == 1
+
+
+def test_ledger_insufficient_moduli_error():
+    zqs = RnsChain([268440577])
+    led = NoiseLedger(zqs)
+    with pytest.raises(ValueError, match="more/bigger moduli"):
+        led.prefix_len(20)
+
+
+def test_pt_params_output():
+    zqs = RnsChain([268440577, 8392193, 1073750017])
+    out = params(addMul, res_ty=PtTy(0, 4, 7), zqs=zqs)
+    assert out.splitlines() == ["mul 0", "add 5"]
+
+
+def test_arithmetic_example_passes():
+    from alchemy_tpu.examples.arithmetic import run
+
+    assert run(seed=1, verbose=False)
+    assert run(seed=2, verbose=False)
