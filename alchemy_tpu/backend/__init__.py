@@ -6,19 +6,25 @@
 - `xla`: jnp uint32 lane arithmetic (Shoup / split-Barrett), jit-able, runs on
   CPU and TPU; bit-identical to golden.
 - `pallas`: hand-written TPU kernels for the hot ops (NTT, fused ct ops).
+
+Note: accessors are named *_backend to avoid colliding with the submodule
+attributes Python sets on the package when the submodules are imported.
 """
 
-from alchemy_tpu.backend.golden import GoldenBackend
-
-_GOLDEN = GoldenBackend()
+_GOLDEN = None
 _XLA = None
 
 
-def golden() -> GoldenBackend:
+def golden_backend():
+    global _GOLDEN
+    if _GOLDEN is None:
+        from alchemy_tpu.backend.golden import GoldenBackend
+
+        _GOLDEN = GoldenBackend()
     return _GOLDEN
 
 
-def xla():
+def xla_backend():
     global _XLA
     if _XLA is None:
         from alchemy_tpu.backend.xla import XlaBackend
@@ -29,7 +35,7 @@ def xla():
 
 def get_backend(name: str):
     if name == "golden":
-        return golden()
+        return golden_backend()
     if name == "xla":
-        return xla()
+        return xla_backend()
     raise ValueError(f"unknown backend {name!r}")

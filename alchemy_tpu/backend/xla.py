@@ -1,0 +1,256 @@
+"""XLA backend: exact mod-q arithmetic on uint32 lanes (jnp; CPU and TPU).
+
+TPU has no 64-bit integer lanes and no mulhi, so (DESIGN.md):
+- full 32×32→64 products via 16-bit splits with explicit carries;
+- constant multiplication (transform matrices, twiddles, per-limb scalars)
+  via Shoup precomputation: r = lo(a·w) − lo(mulhi(a, ⌊w·2^32/q⌋)·q), one
+  conditional subtract — exact for any q < 2^31 and any a < 2^32;
+- variable×variable products reduce hi·2^32+lo with Shoup multiplies by the
+  constants 2^32 mod q and 2^16 mod q (requires q > 2^16).
+
+Every op is elementwise/jnp-native and jit-safe; per-modulus constants are
+Python ints baked into the trace. Bit-identical to backend/golden.py
+(tests/test_xla_backend.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+U32 = jnp.uint32
+_MASK16 = np.uint32(0xFFFF)
+
+
+def _split(a):
+    return a & _MASK16, a >> np.uint32(16)
+
+
+def mulhi_u32(a, b):
+    """High 32 bits of the 64-bit product of two uint32 arrays."""
+    a0, a1 = _split(a)
+    b0, b1 = _split(b)
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    mid = p01 + p10
+    carry_mid = (mid < p01).astype(U32)  # wrapped?
+    lo = p00 + (mid << np.uint32(16))
+    carry_lo = (lo < p00).astype(U32)
+    return a1 * b1 + (mid >> np.uint32(16)) + (carry_mid << np.uint32(16)) + carry_lo
+
+
+def mul_u32_hilo(a, b):
+    a0, a1 = _split(a)
+    b0, b1 = _split(b)
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    mid = p01 + p10
+    carry_mid = (mid < p01).astype(U32)
+    lo = p00 + (mid << np.uint32(16))
+    carry_lo = (lo < p00).astype(U32)
+    hi = a1 * b1 + (mid >> np.uint32(16)) + (carry_mid << np.uint32(16)) + carry_lo
+    return hi, lo
+
+
+def _cond_sub(r, q):
+    return jnp.where(r >= q, r - q, r)
+
+
+def shoup_const(w: int, q: int) -> int:
+    """⌊w·2^32/q⌋ as a uint32 constant (requires w < q)."""
+    return (int(w) << 32) // int(q)
+
+
+def mulmod_shoup(a, w, ws, q):
+    """a·w mod q for constant w with Shoup companion ws; exact for any
+    uint32 a. All of w, ws, q may be arrays broadcastable against a."""
+    hi = mulhi_u32(a, ws)
+    r = a * w - hi * q
+    return _cond_sub(r, q)
+
+
+@lru_cache(maxsize=None)
+def _qconsts(qs: tuple[int, ...]):
+    """Per-limb constant arrays, shaped [L, 1] for broadcasting."""
+    def col(vals):
+        return jnp.asarray(np.array(vals, dtype=np.uint32)[:, None])
+
+    r2 = [(1 << 32) % q for q in qs]
+    r16 = [(1 << 16) % q for q in qs]
+    return {
+        "q": col(qs),
+        "r2": col(r2),
+        "r2s": col([shoup_const(w, q) for w, q in zip(r2, qs)]),
+        "r16": col(r16),
+        "r16s": col([shoup_const(w, q) for w, q in zip(r16, qs)]),
+    }
+
+
+@jax.jit
+def _mulmod_arrays(a, b, q, r2, r2s, r16, r16s):
+    hi, lo = mul_u32_hilo(a, b)
+    t1 = mulmod_shoup(hi, r2, r2s, q)  # hi·2^32 mod q
+    ll, lh = _split(lo)  # _split returns (low16, high16)
+    t2 = _cond_sub(mulmod_shoup(lh, r16, r16s, q) + ll, q)
+    return _cond_sub(t1 + t2, q)
+
+
+def mulmod(a, b, qs: tuple[int, ...]):
+    """General a·b mod q (per-limb moduli), a,b in [0, q) with q < 2^31."""
+    c = _qconsts(qs)
+    return _mulmod_arrays(a, b, c["q"], c["r2"], c["r2s"], c["r16"], c["r16s"])
+
+
+@jax.jit
+def _add_mod(a, b, q):
+    return _cond_sub(a + b, q)
+
+
+@jax.jit
+def _sub_mod(a, b, q):
+    return jnp.where(a >= b, a - b, a + q - b)
+
+
+@jax.jit
+def _neg_mod(a, q):
+    return jnp.where(a == 0, a, q - a)
+
+
+@jax.jit
+def _mulmod_shoup_jit(a, w, ws, q):
+    return mulmod_shoup(a, w, ws, q)
+
+
+@jax.jit
+def _axis_apply(xm, W, WS, q4):
+    """One per-axis transform step: xm [L, d_in, R] × W [L, d_out, d_in]."""
+    prod = mulmod_shoup(xm[:, None, :, :], W[:, :, :, None], WS[:, :, :, None], q4)
+    return _modsum(prod, axis=2, q=q4)  # [L, d_out, R]
+
+
+class XlaBackend:
+    name = "xla"
+
+    def __init__(self):
+        self._mat_cache: dict = {}
+
+    # -- construction -------------------------------------------------------
+
+    def asarray(self, arr: np.ndarray, qs: tuple[int, ...]):
+        a = np.asarray(arr, dtype=np.int64)
+        if a.ndim == 1:
+            a = np.broadcast_to(a[None, :], (len(qs), a.shape[0]))
+        a = a % np.asarray(qs, dtype=np.int64)[:, None]
+        return jnp.asarray(a.astype(np.uint32))
+
+    def to_numpy(self, a) -> np.ndarray:
+        return np.asarray(a).astype(np.int64)
+
+    def zeros(self, nlimb: int, n: int):
+        return jnp.zeros((nlimb, n), dtype=U32)
+
+    # -- elementwise --------------------------------------------------------
+
+    def add(self, a, b, qs):
+        return _add_mod(a, b, _qconsts(qs)["q"])
+
+    def sub(self, a, b, qs):
+        return _sub_mod(a, b, _qconsts(qs)["q"])
+
+    def neg(self, a, qs):
+        return _neg_mod(a, _qconsts(qs)["q"])
+
+    def mul(self, a, b, qs):
+        return mulmod(a, b, qs)
+
+    def mul_const(self, a, consts, qs):
+        w = np.array([int(c) % q for c, q in zip(consts, qs)], dtype=np.uint32)[:, None]
+        ws = np.array(
+            [shoup_const(int(c) % q, q) for c, q in zip(consts, qs)], dtype=np.uint32
+        )[:, None]
+        return _mulmod_shoup_jit(a, jnp.asarray(w), jnp.asarray(ws), _qconsts(qs)["q"])
+
+    def sum_terms(self, terms, qs):
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = self.add(acc, t, qs)
+        return acc
+
+    # -- per-axis transforms ------------------------------------------------
+
+    def _mats_device(self, mat, per_limb: bool, qs: tuple[int, ...]):
+        """Stack per-limb matrices to [L, d_out, d_in] u32 with Shoup
+        companions, cached by content."""
+        mats = list(mat) if per_limb else [mat] * len(qs)
+        key = (qs, tuple(m.tobytes() for m in mats), mats[0].shape)
+        hit = self._mat_cache.get(key)
+        if hit is not None:
+            return hit
+        ws, wss = [], []
+        for m, q in zip(mats, qs):
+            mm = np.asarray(m, dtype=np.int64) % q
+            ws.append(mm.astype(np.uint32))
+            ss = (mm.astype(object) << 32) // q
+            wss.append(np.array(ss, dtype=np.uint32))
+        out = (jnp.asarray(np.stack(ws)), jnp.asarray(np.stack(wss)))
+        self._mat_cache[key] = out
+        return out
+
+    def axis_matmul(self, a, mats, shape, qs):
+        L = a.shape[0]
+        q4 = _qconsts(qs)["q"].reshape(L, 1, 1, 1)
+        cur_shape = list(shape)
+        x = a.reshape(L, *cur_shape)
+        for ax, mat in enumerate(mats):
+            if mat is None:
+                continue
+            per_limb = isinstance(mat, (list, tuple))
+            W, WS = self._mats_device(mat, per_limb, qs)
+            d_out, d_in = W.shape[1], W.shape[2]
+            xm = jnp.moveaxis(x, 1 + ax, 1)  # [L, d_in, *rest]
+            rest_shape = xm.shape[2:]
+            xm = xm.reshape(L, d_in, -1)
+            res = _axis_apply(xm, W, WS, q4)  # [L, d_out, R]
+            res = res.reshape(L, d_out, *rest_shape)
+            x = jnp.moveaxis(res, 1, 1 + ax)
+            cur_shape[ax] = d_out
+        return x.reshape(L, -1)
+
+    # -- signed helpers ------------------------------------------------------
+
+    def lift_centered(self, a, qs):
+        arr = self.to_numpy(a)
+        q = np.asarray(qs, dtype=np.int64)[:, None]
+        return np.where(arr > q // 2, arr - q, arr)
+
+    def reduce_signed(self, a_signed, qs):
+        return self.asarray(np.asarray(a_signed, dtype=np.int64), qs)
+
+    def broadcast_row(self, row, nlimb, qs):
+        r = np.asarray(row, dtype=np.int64)
+        return self.asarray(np.broadcast_to(r[None, :], (nlimb, r.shape[0])), qs)
+
+
+def _modsum(prod, axis: int, q):
+    """Tree-sum mod q along `axis` (pads to a power of two)."""
+    n = prod.shape[axis]
+    # pad to next power of two with zeros
+    pow2 = 1
+    while pow2 < n:
+        pow2 *= 2
+    if pow2 != n:
+        pad = [(0, 0)] * prod.ndim
+        pad[axis] = (0, pow2 - n)
+        prod = jnp.pad(prod, pad)
+    while prod.shape[axis] > 1:
+        half = prod.shape[axis] // 2
+        a = jnp.take(prod, jnp.arange(0, half), axis=axis)
+        b = jnp.take(prod, jnp.arange(half, 2 * half), axis=axis)
+        s = a + b
+        prod = jnp.where(s >= q, s - q, s)
+    return jnp.squeeze(prod, axis=axis)

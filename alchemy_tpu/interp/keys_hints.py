@@ -32,9 +32,9 @@ class KeysHints:
 
     def __init__(self, variance_param: float, seed: int = 0, bk=None):
         if bk is None:
-            from alchemy_tpu.backend import golden
+            from alchemy_tpu.backend import golden_backend
 
-            bk = golden()
+            bk = golden_backend()
         self.r = float(variance_param)
         self.rng = np.random.default_rng(seed)
         self.bk = bk

@@ -4,7 +4,7 @@
 import numpy as np
 import pytest
 
-from alchemy_tpu.backend import golden
+from alchemy_tpu.backend import golden_backend
 from alchemy_tpu.core.cyc import Cyc
 from alchemy_tpu.nt.factor import totient
 from alchemy_tpu.nt.primes import find_ntt_prime
@@ -14,7 +14,7 @@ from alchemy_tpu.she.keys import SK
 from alchemy_tpu.she.linear import LinearMap
 from alchemy_tpu.she.tunnel import tunnel, tunnel_hint
 
-BK = golden()
+BK = golden_backend()
 
 M, MP = 4, 32  # plaintext ring F4, ciphertext ring F32
 P = 8          # plaintext modulus 2^3

@@ -4,13 +4,13 @@ arithmetic, and algebraic laws of embed/twace/rel_coeffs."""
 import numpy as np
 import pytest
 
-from alchemy_tpu.backend import golden
+from alchemy_tpu.backend import golden_backend
 from alchemy_tpu.core.cyc import Cyc, crt_lift_host
 from alchemy_tpu.core.ring import get_ring, power_reduction_matrix
 from alchemy_tpu.nt.factor import totient
 from alchemy_tpu.nt.primes import find_ntt_prime
 
-BK = golden()
+BK = golden_backend()
 RNG = np.random.default_rng(0)
 
 

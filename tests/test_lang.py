@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from alchemy_tpu.backend import golden
+from alchemy_tpu.backend import golden_backend
 from alchemy_tpu.core.cyc import Cyc
 from alchemy_tpu.core.params import RnsChain
 from alchemy_tpu.interp import dup, pprint, size
@@ -14,7 +14,7 @@ from alchemy_tpu.interp.params_print import params
 from alchemy_tpu.lang.dsl import add_lit_n, div2, lam, lam2, let_
 from alchemy_tpu.nt.factor import totient
 
-BK = golden()
+BK = golden_backend()
 
 addMul = lam2(lambda x, y: (x + y) * y)
 
