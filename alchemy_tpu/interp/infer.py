@@ -123,11 +123,10 @@ class Inference:
         elif n == "mul_":
             a_in, a_out = TRef(), TRef()
             t.set(FunTy(a_in, fun(a_in, a_out)))
+            # top-down only: mul_input_pnoise is not injective (prefix
+            # quantization), so the output→input family has no usable inverse
             a_out.on_set(
                 lambda p: a_in.set(PtTy(led.mul_input_pnoise(p.pnoise), p.m, p.zp))
-            )
-            a_in.on_set(
-                lambda p: a_out.set(PtTy(led.mul_output_pnoise(p.pnoise), p.m, p.zp))
             )
         elif n == "div2_":
             a_in, a_out = TRef(), TRef()
