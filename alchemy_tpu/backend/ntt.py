@@ -71,21 +71,21 @@ def ntt_tables(n: int, qs: tuple[int, ...]):
         inv_s.append(is_stages)
 
     def dev(stage_lists, s):
-        return jnp.asarray(
-            np.stack([np.array(stage_lists[l][s], dtype=np.uint32) for l in range(L)])
-        )
+        # host numpy constants: safe to cache across jit traces (they embed
+        # as compile-time constants; device arrays here would leak tracers)
+        return np.stack([np.array(stage_lists[l][s], dtype=np.uint32) for l in range(L)])
 
     tables = {
-        "q": jnp.asarray(np.array(qs, dtype=np.uint32)[:, None]),
+        "q": np.array(qs, dtype=np.uint32)[:, None],
         "fwd": [(dev(fwd, s), dev(fwd_s, s)) for s in range(k)],
         "inv": [(dev(inv, s), dev(inv_s, s)) for s in range(k)],
         "pre": (
-            jnp.asarray(np.stack(pre).astype(np.uint32)),
-            jnp.asarray(np.stack([np.array(x, dtype=np.uint32) for x in pre_s])),
+            np.stack(pre).astype(np.uint32),
+            np.stack([np.array(x, dtype=np.uint32) for x in pre_s]),
         ),
         "post": (
-            jnp.asarray(np.stack(post).astype(np.uint32)),
-            jnp.asarray(np.stack([np.array(x, dtype=np.uint32) for x in post_s])),
+            np.stack(post).astype(np.uint32),
+            np.stack([np.array(x, dtype=np.uint32) for x in post_s]),
         ),
     }
     return tables
@@ -99,6 +99,53 @@ def _sub_m(a, b, q):
     return jnp.where(a >= b, a - b, a + q - b)
 
 
+def cyclic_ntt_stages(x, stages, q):
+    """Radix-2 DIF cyclic NTT over the LAST axis (natural in → bit-reversed
+    out). `stages[s]` = (W, WS) twiddles shaped [L?, m] broadcastable against
+    the [..., L, n] input; `q` shaped like [L, 1]. Used standalone by the
+    distributed 4-step NTT (parallel/dist.py)."""
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    k = n.bit_length() - 1
+    for s in range(k):
+        m = n >> (s + 1)
+        blocks = 1 << s
+        xs = x.reshape(*lead, blocks, 2, m)
+        a = xs[..., 0, :]
+        b = xs[..., 1, :]
+        W, WS = stages[s]
+        top = _add_m(a, b, q[..., None, :])
+        bot = mulmod_shoup(
+            _sub_m(a, b, q[..., None, :]), W[..., None, :], WS[..., None, :], q[..., None, :]
+        )
+        x = jnp.stack([top, bot], axis=-2).reshape(*lead, n)
+    return x
+
+
+def cyclic_intt_stages(x, inv_stages, q, n_inv=None):
+    """Inverse of `cyclic_ntt_stages` (bit-reversed in → natural out).
+    If n_inv (w, ws) per limb is given, folds in the 1/n scaling."""
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    k = n.bit_length() - 1
+    for s in reversed(range(k)):
+        m = n >> (s + 1)
+        blocks = 1 << s
+        xs = x.reshape(*lead, blocks, 2, m)
+        A = xs[..., 0, :]
+        B = xs[..., 1, :]
+        W, WS = inv_stages[s]
+        bw = mulmod_shoup(B, W[..., None, :], WS[..., None, :], q[..., None, :])
+        a = _add_m(A, bw, q[..., None, :])
+        b = _sub_m(A, bw, q[..., None, :])
+        x = jnp.stack([a, b], axis=-2).reshape(*lead, n)
+    if n_inv is not None:
+        w, ws = n_inv
+        x = mulmod_shoup(x, w, ws, q)
+    return x
+
+
+@partial(jax.jit, static_argnums=(1, 2))
 def ntt_negacyclic(x, n: int, qs: tuple[int, ...]):
     """Forward negacyclic NTT on [..., L, n] (natural in, bit-reversed out)."""
     t = ntt_tables(n, qs)
@@ -122,6 +169,7 @@ def ntt_negacyclic(x, n: int, qs: tuple[int, ...]):
     return x
 
 
+@partial(jax.jit, static_argnums=(1, 2))
 def intt_negacyclic(x, n: int, qs: tuple[int, ...]):
     """Inverse negacyclic NTT on [..., L, n] (bit-reversed in, natural out)."""
     t = ntt_tables(n, qs)

@@ -78,7 +78,8 @@ def mulmod_shoup(a, w, ws, q):
 def _qconsts(qs: tuple[int, ...]):
     """Per-limb constant arrays, shaped [L, 1] for broadcasting."""
     def col(vals):
-        return jnp.asarray(np.array(vals, dtype=np.uint32)[:, None])
+        # host numpy constants (jit-trace-safe to cache)
+        return np.array(vals, dtype=np.uint32)[:, None]
 
     r2 = [(1 << 32) % q for q in qs]
     r16 = [(1 << 16) % q for q in qs]

@@ -1,0 +1,349 @@
+"""Distributed BGV hot path: shard_map over the ('batch','limb','coeff') mesh.
+
+The distributed NTT is the 4-step factorization n = n1·n2 (SURVEY.md §5):
+coefficients are stored in (j2, j1) grid order (pos = j2·n1 + j1) and the
+'coeff' mesh axis shards j2-blocks, so
+
+  1. local cyclic NTT of size n1 along j1 (rows are complete locally),
+  2. local twiddle by w^(j2·k1),
+  3. ONE all_to_all transpose over ICI (k1 becomes the sharded axis),
+  4. local cyclic NTT of size n2 along j2,
+
+with the negacyclic ψ-twist as sharded elementwise pre/post tables. The
+final slot order is (k1-bitrev, k2-bitrev) blocks — fixed and self-inverse,
+which is all pointwise ct ops need.
+
+Relinearization traffic: one all_gather of the c2 coefficient rows over
+'limb' (digits are elementwise per coefficient, so 'coeff' stays sharded);
+hint products are limb-local. 'batch' never communicates.
+
+All per-limb constants (twiddles, q, Barrett consts, hints) enter as sharded
+*arguments* so a single shard_map trace serves every device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from alchemy_tpu.backend.ntt import (
+    cyclic_intt_stages,
+    cyclic_ntt_stages,
+)
+from alchemy_tpu.backend.xla import _cond_sub, _split, mulmod_shoup, shoup_const
+from alchemy_tpu.nt.primes import root_of_unity
+from alchemy_tpu.she.fast import FastParams
+
+
+def _bitrev(i: int, bits: int) -> int:
+    r = 0
+    for _ in range(bits):
+        r = (r << 1) | (i & 1)
+        i >>= 1
+    return r
+
+
+@dataclass(frozen=True)
+class DistConfig:
+    p: FastParams
+    n1: int
+    n2: int
+
+    def __post_init__(self):
+        assert self.n1 * self.n2 == self.p.n
+
+
+@lru_cache(maxsize=None)
+def dist_tables(cfg: DistConfig):
+    """Host numpy tables for the 4-step distributed negacyclic NTT.
+
+    Layout-sensitive tables are in storage order and sharded like the data;
+    stage tables are per-limb [L, m] (sharded over 'limb')."""
+    p, n1, n2 = cfg.p, cfg.n1, cfg.n2
+    qs, n = p.qs, p.n
+    L = len(qs)
+    b1 = n1.bit_length() - 1
+    b2 = n2.bit_length() - 1
+
+    def shoup_vec(vals, q):
+        return np.array([(int(v) << 32) // q for v in vals], dtype=np.uint32)
+
+    pre = np.empty((L, n), dtype=np.uint32)
+    pre_s = np.empty((L, n), dtype=np.uint32)
+    post = np.empty((L, n), dtype=np.uint32)
+    post_s = np.empty((L, n), dtype=np.uint32)
+    tw = np.empty((L, n2, n1), dtype=np.uint32)
+    tw_s = np.empty((L, n2, n1), dtype=np.uint32)
+    itw = np.empty((L, n2, n1), dtype=np.uint32)
+    itw_s = np.empty((L, n2, n1), dtype=np.uint32)
+    stage1, stage1_i, stage2, stage2_i = [], [], [], []
+    for li, q in enumerate(qs):
+        psi = root_of_unity(2 * n, q)
+        w = psi * psi % q
+        psi_inv = pow(psi, -1, q)
+        n_inv = pow(n, -1, q)
+        # pre/post twist in storage order pos = j2*n1 + j1, j = j1*n2 + j2
+        for j2 in range(n2):
+            for j1 in range(n1):
+                j = j1 * n2 + j2
+                pos = j2 * n1 + j1
+                v = pow(psi, j, q)
+                pre[li, pos] = v
+                pre_s[li, pos] = (v << 32) // q
+                u = pow(psi_inv, j, q) * n_inv % q
+                post[li, pos] = u
+                post_s[li, pos] = (u << 32) // q
+        # step-2 twiddles w^(j2 * brv(k1pos)) at [j2, k1pos]
+        for j2 in range(n2):
+            for k1pos in range(n1):
+                k1 = _bitrev(k1pos, b1)
+                v = pow(w, j2 * k1, q)
+                tw[li, j2, k1pos] = v
+                tw_s[li, j2, k1pos] = (v << 32) // q
+                u = pow(v, -1, q)
+                itw[li, j2, k1pos] = u
+                itw_s[li, j2, k1pos] = (u << 32) // q
+
+    def stages_for(root_pows):
+        """stage tables [L, m] per stage for a cyclic NTT with per-limb roots."""
+        size = len(root_pows[0])
+        k = size.bit_length() - 1
+        # root_pows[l] = [root^j for j in range(size)] mod q_l
+        out = []
+        for s in range(k):
+            m = size >> (s + 1)
+            Wl, WSl = [], []
+            for li, q in enumerate(qs):
+                vals = [root_pows[li][(j * (1 << s)) % size] for j in range(m)]
+                Wl.append(np.array(vals, dtype=np.uint32))
+                WSl.append(shoup_vec(vals, q))
+            out.append((np.stack(Wl), np.stack(WSl)))
+        return out
+
+    def root_table(order_exp):
+        # per limb: powers of w^(n/size)
+        tabs = []
+        for q in qs:
+            psi = root_of_unity(2 * n, q)
+            w = psi * psi % q
+            r = pow(w, order_exp, q)
+            size = n // order_exp
+            vals = [1] * size
+            for j in range(1, size):
+                vals[j] = vals[j - 1] * r % q
+            tabs.append(vals)
+        return tabs
+
+    w1_pows = root_table(n2)  # order n1
+    w2_pows = root_table(n1)  # order n2
+    stage1 = stages_for(w1_pows)
+    stage2 = stages_for(w2_pows)
+
+    def inv_stages(stage_tabs):
+        out = []
+        for W, WS in stage_tabs:
+            Wi = np.empty_like(W)
+            WSi = np.empty_like(WS)
+            for li, q in enumerate(qs):
+                inv = [pow(int(v), -1, q) for v in W[li]]
+                Wi[li] = np.array(inv, dtype=np.uint32)
+                WSi[li] = shoup_vec(inv, q)
+            out.append((Wi, WSi))
+        return out
+
+    qcol = np.array(qs, dtype=np.uint32)[:, None]
+    r16 = np.array([(1 << 16) % q for q in qs], dtype=np.uint32)[:, None]
+    r16s = np.array([shoup_const((1 << 16) % q, q) for q in qs], dtype=np.uint32)[:, None]
+    return {
+        "pre": (pre, pre_s),
+        "post": (post, post_s),
+        "tw": (tw.reshape(L, n), tw_s.reshape(L, n)),
+        "itw": (itw.reshape(L, n), itw_s.reshape(L, n)),
+        "stage1": stage1,
+        "stage1_inv": inv_stages(stage1),
+        "stage2": stage2,
+        "stage2_inv": inv_stages(stage2),
+        "q": qcol,
+        "r16": r16,
+        "r16s": r16s,
+    }
+
+
+# ---------------------------------------------------------------------------
+# local (per-shard) transforms, written against local chunk shapes
+# ---------------------------------------------------------------------------
+
+
+def _a2a(x, axis_split, axis_concat):
+    return jax.lax.all_to_all(
+        x, "coeff", split_axis=axis_split, concat_axis=axis_concat, tiled=True
+    )
+
+
+def _stages_L(x, stages, q, fn):
+    """Apply a cyclic stage transform over the last axis of
+    [..., L_loc, G, size] (G = grid rows) with per-limb tables [L_loc, m]:
+    temporarily move L next to the transform axis for broadcasting."""
+    x = jnp.swapaxes(x, -3, -2)  # [..., G, L_loc, size]
+    x = fn(x, stages, q)
+    return jnp.swapaxes(x, -3, -2)
+
+
+def _dist_ntt_local(x, t, cfg: DistConfig):
+    """x local [..., L_loc, n_loc] in (j2, j1) storage order."""
+    n1 = cfg.n1
+    q = t["q"]
+    pre, pre_s = t["pre"]
+    x = mulmod_shoup(x, pre, pre_s, q)
+    lead = x.shape[:-2]
+    Lc = x.shape[-2]
+    n2_loc = x.shape[-1] // n1
+    x = x.reshape(*lead, Lc, n2_loc, n1)
+    x = _stages_L(x, t["stage1"], q, cyclic_ntt_stages)   # over j1 → k1pos
+    twv, tws = t["tw"]
+    x = mulmod_shoup(x.reshape(*lead, Lc, n2_loc * n1), twv, tws, q).reshape(
+        *lead, Lc, n2_loc, n1
+    )
+    x = _a2a(x, x.ndim - 1, x.ndim - 2)                   # [..., L, n2, n1/C]
+    x = jnp.swapaxes(x, -1, -2)                           # [..., L, n1/C, n2]
+    x = _stages_L(x, t["stage2"], q, cyclic_ntt_stages)   # over j2 → k2pos
+    return x.reshape(*lead, Lc, -1)
+
+
+def _dist_intt_local(x, t, cfg: DistConfig):
+    n2 = cfg.n2
+    q = t["q"]
+    lead = x.shape[:-2]
+    Lc = x.shape[-2]
+    n1_loc = x.shape[-1] // n2
+    x = x.reshape(*lead, Lc, n1_loc, n2)
+    x = _stages_L(x, t["stage2_inv"], q, cyclic_intt_stages)  # undo over j2
+    x = jnp.swapaxes(x, -1, -2)                               # [..., L, n2, n1/C]
+    x = _a2a(x, x.ndim - 2, x.ndim - 1)                       # [..., L, n2/C, n1]
+    itwv, itws = t["itw"]
+    n2_loc, n1 = x.shape[-2], x.shape[-1]
+    x = mulmod_shoup(x.reshape(*lead, Lc, -1), itwv, itws, q).reshape(
+        *lead, Lc, n2_loc, n1
+    )
+    x = _stages_L(x, t["stage1_inv"], q, cyclic_intt_stages)  # undo over j1
+    x = x.reshape(*lead, Lc, -1)
+    post, post_s = t["post"]
+    return mulmod_shoup(x, post, post_s, q)
+
+
+def _reduce_u32_local(v, q, r16, r16s):
+    ll, lh = _split(v)
+    return _cond_sub(mulmod_shoup(lh, r16, r16s, q) + ll, q)
+
+
+def _mul(a, b, t):
+    from alchemy_tpu.backend.xla import mul_u32_hilo
+
+    q = t["q"]
+    hi, lo = mul_u32_hilo(a, b)
+    # hi·2^32 mod q: reduce hi (<2^30), then two ·2^16 Shoup multiplies
+    h1 = _reduce_u32_local(hi, q, t["r16"], t["r16s"])
+    h2 = mulmod_shoup(h1, t["r16"], t["r16s"], q)
+    h3 = mulmod_shoup(h2, t["r16"], t["r16s"], q)
+    ll, lh = _split(lo)
+    t2 = _cond_sub(mulmod_shoup(lh, t["r16"], t["r16s"], q) + ll, q)
+    return _cond_sub(h3 + t2, q)
+
+
+def _add(a, b, q):
+    return _cond_sub(a + b, q)
+
+
+# ---------------------------------------------------------------------------
+# the sharded fused step
+# ---------------------------------------------------------------------------
+
+
+def make_dist_mul_relin(cfg: DistConfig, mesh: Mesh):
+    """Build a jitted, mesh-sharded batched mul+relin:
+    cts [B, 2, L, n] × hints [L, L, n] → [B, 2, L, n]."""
+    t = dist_tables(cfg)
+    L = len(cfg.p.qs)
+
+    tab_specs = {
+        "pre": (P("limb", "coeff"), P("limb", "coeff")),
+        "post": (P("limb", "coeff"), P("limb", "coeff")),
+        "tw": (P("limb", "coeff"), P("limb", "coeff")),
+        "itw": (P("limb", "coeff"), P("limb", "coeff")),
+        "stage1": [(P("limb", None), P("limb", None)) for _ in t["stage1"]],
+        "stage1_inv": [(P("limb", None), P("limb", None)) for _ in t["stage1_inv"]],
+        "stage2": [(P("limb", None), P("limb", None)) for _ in t["stage2"]],
+        "stage2_inv": [(P("limb", None), P("limb", None)) for _ in t["stage2_inv"]],
+        "q": P("limb", None),
+        "r16": P("limb", None),
+        "r16s": P("limb", None),
+    }
+    ct_spec = P("batch", None, "limb", "coeff")
+    hint_spec = P(None, "limb", "coeff")
+
+    def step(ct_a, ct_b, hb, ha, tabs):
+        q = tabs["q"]
+        a0, a1 = ct_a[:, 0], ct_a[:, 1]
+        b0, b1 = ct_b[:, 0], ct_b[:, 1]
+        c0 = _mul(a0, b0, tabs)
+        c1 = _add(_mul(a0, b1, tabs), _mul(a1, b0, tabs), q)
+        c2 = _mul(a1, b1, tabs)
+        c2_coeff = _dist_intt_local(c2, tabs, cfg)          # [B_loc, L_loc, n_loc]
+        rows = jax.lax.all_gather(c2_coeff, "limb", axis=1, tiled=True)  # [B, L, n_loc]
+        out0, out1 = c0, c1
+        for i in range(L):
+            row = rows[:, i : i + 1, :]
+            dig = _reduce_u32_local(
+                jnp.broadcast_to(row, c2_coeff.shape), q, tabs["r16"], tabs["r16s"]
+            )
+            dig_ntt = _dist_ntt_local(dig, tabs, cfg)
+            out0 = _add(out0, _mul(dig_ntt, hb[i][None], tabs), q)
+            out1 = _add(out1, _mul(dig_ntt, ha[i][None], tabs), q)
+        return jnp.stack([out0, out1], axis=1)
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(ct_spec, ct_spec, hint_spec, hint_spec, tab_specs),
+        out_specs=ct_spec,
+    )
+
+    @jax.jit
+    def run(ct_a, ct_b, hb, ha):
+        return sharded(ct_a, ct_b, hb, ha, t)
+
+    return run
+
+
+def make_dist_ntt(cfg: DistConfig, mesh: Mesh):
+    """Sharded forward/inverse negacyclic NTT on [B, L, n] (testing/bench)."""
+    t = dist_tables(cfg)
+    tab_specs = {
+        "pre": (P("limb", "coeff"), P("limb", "coeff")),
+        "post": (P("limb", "coeff"), P("limb", "coeff")),
+        "tw": (P("limb", "coeff"), P("limb", "coeff")),
+        "itw": (P("limb", "coeff"), P("limb", "coeff")),
+        "stage1": [(P("limb", None), P("limb", None)) for _ in t["stage1"]],
+        "stage1_inv": [(P("limb", None), P("limb", None)) for _ in t["stage1_inv"]],
+        "stage2": [(P("limb", None), P("limb", None)) for _ in t["stage2"]],
+        "stage2_inv": [(P("limb", None), P("limb", None)) for _ in t["stage2_inv"]],
+        "q": P("limb", None),
+        "r16": P("limb", None),
+        "r16s": P("limb", None),
+    }
+    spec = P("batch", "limb", "coeff")
+
+    fwd = jax.shard_map(
+        lambda x, tabs: _dist_ntt_local(x, tabs, cfg),
+        mesh=mesh, in_specs=(spec, tab_specs), out_specs=spec,
+    )
+    inv = jax.shard_map(
+        lambda x, tabs: _dist_intt_local(x, tabs, cfg),
+        mesh=mesh, in_specs=(spec, tab_specs), out_specs=spec,
+    )
+    return jax.jit(lambda x: fwd(x, t)), jax.jit(lambda x: inv(x, t))

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark: BGV ciphertext multiply + relinearization throughput per chip.
+
+North-star config (BASELINE.json configs[3]): ring with 2^15 coefficients
+(m' = 2^16), 8 RNS limbs (~30-bit NTT primes), CRT-gadget relinearization —
+the fused jitted fast path (she/fast.py) on whatever accelerator JAX sees
+(the driver runs this on one real TPU chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured-TPU vs the same jitted program on the host CPU
+(the reference backend is CPU-only and publishes no numbers — BASELINE.md),
+i.e. "per-chip speedup over a like-for-like CPU execution". Details go to
+stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _sync(x):
+    """Force completion: block_until_ready is not reliable through the
+    tunneled device, so read a few elements back to host."""
+    x.block_until_ready()
+    return np.asarray(x[..., :2, :2])
+
+
+def _timed_loop(step, state, min_seconds: float = 1.0):
+    """Run `state = step(state)` until the measured span exceeds min_seconds
+    (doubling the iteration count), syncing with a device→host readback."""
+    iters = 4
+    while True:
+        t0 = time.perf_counter()
+        s = state
+        for _ in range(iters):
+            s = step(s)
+        _sync(s)
+        dt = time.perf_counter() - t0
+        if dt >= min_seconds or iters >= 1 << 20:
+            return iters / dt, dt / iters
+        iters *= 2
+
+
+def bench_on(device, p, rng, min_seconds=1.0):
+    import jax
+    from alchemy_tpu.she import fast
+
+    with jax.default_device(device):
+        s = fast.keygen(p, rng)
+        hb, ha = fast.relin_hint(p, s, rng)
+        ct1 = fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
+        ct2 = fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
+        out = fast.mul_relin(p, ct1, ct2, hb, ha)  # compile + warm
+        _sync(out)
+        return _timed_loop(lambda o: fast.mul_relin(p, ct1, o, hb, ha), out, min_seconds)
+
+
+def bench_ntt(device, p, min_seconds=1.0):
+    import jax
+    import jax.numpy as jnp
+    from alchemy_tpu.backend.ntt import ntt_negacyclic
+
+    rng = np.random.default_rng(0)
+    x = np.stack([rng.integers(0, q, p.n) for q in p.qs]).astype(np.uint32)
+    with jax.default_device(device):
+        xd = jnp.asarray(x)
+        y = ntt_negacyclic(xd, p.n, p.qs)
+        _sync(y)
+        ops, lat = _timed_loop(lambda v: ntt_negacyclic(v, p.n, p.qs), y, min_seconds)
+        return lat
+
+
+def main():
+    import jax
+    from alchemy_tpu.she.fast import FastParams
+
+    log_n = int(os.environ.get("BENCH_LOG_N", "15"))
+    nlimb = int(os.environ.get("BENCH_NLIMB", "8"))
+    secs = float(os.environ.get("BENCH_SECONDS", "2.0"))
+
+    p = FastParams.make(log_n, nlimb, zp=2)
+    rng = np.random.default_rng(0)
+
+    devs = jax.devices()
+    accel = devs[0]
+    log(f"accelerator: {accel} | ring n=2^{log_n}, limbs={nlimb}")
+
+    ops_accel, per_op = bench_on(accel, p, rng, secs)
+    log(f"mul_relin on {accel.platform}: {ops_accel:.2f} ops/s ({per_op*1e3:.3f} ms/op)")
+
+    ntt_lat = bench_ntt(accel, p, secs)
+    log(f"NTT (n=2^{log_n}, {nlimb} limbs) latency: {ntt_lat*1e6:.0f} us")
+
+    vs = None
+    try:
+        cpus = jax.devices("cpu")
+        if cpus and cpus[0].platform != accel.platform:
+            ops_cpu, _ = bench_on(cpus[0], p, np.random.default_rng(0), min(secs, 1.0))
+            log(f"mul_relin on cpu: {ops_cpu:.2f} ops/s")
+            vs = ops_accel / ops_cpu
+    except Exception as e:  # CPU backend may be unavailable under the driver
+        log(f"cpu baseline unavailable: {e}")
+    if vs is None:
+        vs = 1.0
+
+    print(json.dumps({
+        "metric": f"bgv_mul_relin_ops_per_s_n2e{log_n}_L{nlimb}",
+        "value": round(ops_accel, 3),
+        "unit": "ops/s",
+        "vs_baseline": round(vs, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

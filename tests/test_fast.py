@@ -1,0 +1,94 @@
+"""Fast path: negacyclic NTT and fused mul+relin/rescale, vs the golden Cyc."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from alchemy_tpu.backend import golden_backend
+from alchemy_tpu.backend.ntt import intt_negacyclic, ntt_negacyclic
+from alchemy_tpu.core.cyc import Cyc
+from alchemy_tpu.she import fast
+from alchemy_tpu.she.fast import FastParams
+
+GB = golden_backend()
+
+
+def params(log_n=4, nlimb=2, zp=8):
+    return FastParams.make(log_n, nlimb, zp=zp)
+
+
+def test_ntt_roundtrip():
+    p = params()
+    rng = np.random.default_rng(0)
+    x = np.stack([rng.integers(0, q, p.n) for q in p.qs]).astype(np.uint32)
+    y = intt_negacyclic(ntt_negacyclic(jnp.asarray(x), p.n, p.qs), p.n, p.qs)
+    assert np.array_equal(np.asarray(y), x)
+
+
+def test_ntt_mul_matches_golden_cyc():
+    p = params()
+    m = 2 * p.n  # cyclotomic index
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, min(p.qs), p.n)
+    b = rng.integers(0, min(p.qs), p.n)
+    fa = ntt_negacyclic(jnp.asarray(np.stack([a % q for q in p.qs]).astype(np.uint32)), p.n, p.qs)
+    fb = ntt_negacyclic(jnp.asarray(np.stack([b % q for q in p.qs]).astype(np.uint32)), p.n, p.qs)
+    from alchemy_tpu.backend.xla import mulmod
+
+    prod = intt_negacyclic(mulmod(fa, fb, p.qs), p.n, p.qs)
+    ca = Cyc.from_coeffs(m, p.qs, np.stack([a % q for q in p.qs]), GB)
+    cb = Cyc.from_coeffs(m, p.qs, np.stack([b % q for q in p.qs]), GB)
+    want = GB.to_numpy((ca * cb).to_pow().data)
+    assert np.array_equal(np.asarray(prod).astype(np.int64), want)
+
+
+def test_fast_encrypt_decrypt():
+    p = params(log_n=5, nlimb=2)
+    rng = np.random.default_rng(2)
+    s = fast.keygen(p, rng)
+    msg = rng.integers(0, p.zp, p.n)
+    ct = fast.encrypt(p, s, msg, rng)
+    dec = fast.decrypt(p, s, ct)
+    assert np.array_equal(dec, msg % p.zp)
+
+
+def test_fast_mul_relin_and_rescale():
+    p = params(log_n=5, nlimb=3, zp=2)
+    rng = np.random.default_rng(3)
+    s = fast.keygen(p, rng)
+    hb, ha = fast.relin_hint(p, s, rng)
+    m1 = rng.integers(0, 2, p.n)
+    m2 = rng.integers(0, 2, p.n)
+    ct1 = fast.encrypt(p, s, m1, rng)
+    ct2 = fast.encrypt(p, s, m2, rng)
+    out = fast.mul_relin(p, ct1, ct2, hb, ha)
+    # plaintext product in the ring mod 2
+    mm = 2 * p.n
+    c1 = Cyc.from_coeffs(mm, (2,), m1, GB)
+    c2 = Cyc.from_coeffs(mm, (2,), m2, GB)
+    want = GB.to_numpy((c1 * c2).to_pow().data)[0]
+    got = fast.decrypt(p, s, out)
+    assert np.array_equal(got, want)
+
+
+def test_fast_rescale_correct():
+    p = params(log_n=5, nlimb=3, zp=2)
+    rng = np.random.default_rng(4)
+    from alchemy_tpu.she.keys import gaussian_coeffs
+
+    s_int = gaussian_coeffs(rng, 1.0, p.n)
+    s = ntt_negacyclic(
+        jnp.asarray(np.stack([s_int % q for q in p.qs]).astype(np.uint32)), p.n, p.qs
+    )
+    msg = rng.integers(0, 2, p.n)
+    ct = fast.encrypt(p, s, msg, rng)
+    down = fast.rescale(p, ct, 1)
+    p_down = FastParams(n=p.n, qs=p.qs[:-1], zp=p.zp)
+    s_down = ntt_negacyclic(
+        jnp.asarray(np.stack([s_int % q for q in p_down.qs]).astype(np.uint32)),
+        p_down.n, p_down.qs,
+    )
+    # the dropped prime is ≡ 1 mod 2 ... scale factor: q_k mod 2 = 1
+    got = fast.decrypt(p_down, s_down, down)
+    assert np.array_equal(got, msg % 2)

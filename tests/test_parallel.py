@@ -1,0 +1,122 @@
+"""Distributed path on the virtual 8-device CPU mesh: the 4-step
+coeff-sharded NTT and the limb-sharded fused mul+relin, validated
+bit-exactly against the single-chip fast path through layout bridges."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from alchemy_tpu.backend.ntt import intt_negacyclic, ntt_negacyclic
+from alchemy_tpu.parallel.dist import DistConfig, make_dist_mul_relin, make_dist_ntt
+from alchemy_tpu.parallel.mesh import make_mesh
+from alchemy_tpu.she import fast
+from alchemy_tpu.she.fast import FastParams
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def setup(log_n=8, nlimb=4, n1=None):
+    p = FastParams.make(log_n, nlimb, zp=2)
+    n1 = n1 or (1 << (log_n // 2))
+    cfg = DistConfig(p=p, n1=n1, n2=p.n // n1)
+    mesh = make_mesh((2, 2, 2))
+    return p, cfg, mesh
+
+
+def to_dist_layout(coeffs, cfg):
+    """coeff-index order → (j2, j1) storage order."""
+    n1, n2 = cfg.n1, cfg.n2
+    idx = np.empty(cfg.p.n, dtype=np.int64)
+    for j2 in range(n2):
+        for j1 in range(n1):
+            idx[j2 * n1 + j1] = j1 * n2 + j2
+    return coeffs[..., idx]
+
+
+def from_dist_layout(stored, cfg):
+    n1, n2 = cfg.n1, cfg.n2
+    idx = np.empty(cfg.p.n, dtype=np.int64)
+    for j2 in range(n2):
+        for j1 in range(n1):
+            idx[j1 * n2 + j2] = j2 * n1 + j1
+    return stored[..., idx]
+
+
+def test_dist_ntt_roundtrip():
+    p, cfg, mesh = setup()
+    rng = np.random.default_rng(0)
+    x = np.stack(
+        [np.stack([rng.integers(0, q, p.n) for q in p.qs]) for _ in range(2)]
+    ).astype(np.uint32)  # [B=2, L, n]
+    fwd, inv = make_dist_ntt(cfg, mesh)
+    y = inv(fwd(jnp.asarray(x)))
+    assert np.array_equal(np.asarray(y), x)
+
+
+def test_dist_ntt_pointwise_mul_is_ring_mul():
+    p, cfg, mesh = setup()
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, min(p.qs), p.n)
+    b = rng.integers(0, min(p.qs), p.n)
+    fwd, inv = make_dist_ntt(cfg, mesh)
+
+    def to_dev(v):
+        res = np.stack([v % q for q in p.qs]).astype(np.uint32)
+        stored = to_dist_layout(res, cfg)
+        return jnp.asarray(np.stack([stored, stored]))  # pad batch to 2
+
+    from alchemy_tpu.backend.xla import mulmod
+
+    fa, fb = fwd(to_dev(a)), fwd(to_dev(b))
+    prod = inv(mulmod(fa, fb, p.qs))
+    got = from_dist_layout(np.asarray(prod)[0], cfg).astype(np.int64)
+    # reference: single-chip negacyclic via the fast path
+    na = ntt_negacyclic(jnp.asarray(np.stack([a % q for q in p.qs]).astype(np.uint32)), p.n, p.qs)
+    nb = ntt_negacyclic(jnp.asarray(np.stack([b % q for q in p.qs]).astype(np.uint32)), p.n, p.qs)
+    want = np.asarray(intt_negacyclic(mulmod(na, nb, p.qs), p.n, p.qs)).astype(np.int64)
+    assert np.array_equal(got, want)
+
+
+def test_dist_mul_relin_matches_single_chip():
+    p, cfg, mesh = setup(log_n=7, nlimb=4)
+    rng = np.random.default_rng(2)
+    s = fast.keygen(p, rng)
+    hb, ha = fast.relin_hint(p, s, rng)
+    m1 = rng.integers(0, 2, p.n)
+    m2 = rng.integers(0, 2, p.n)
+    ct1 = fast.encrypt(p, s, m1, rng)
+    ct2 = fast.encrypt(p, s, m2, rng)
+    want = fast.mul_relin(p, ct1, ct2, hb, ha)
+    want_coeff = np.asarray(intt_negacyclic(want, p.n, p.qs))
+
+    # bridge: fast NTT domain → coefficients → dist layout → dist NTT domain
+    # (batch axis padded to the mesh batch size)
+    fwd, inv = make_dist_ntt(cfg, mesh)
+
+    def bridge(x):
+        coeff = np.asarray(intt_negacyclic(x, p.n, p.qs))
+        stored = to_dist_layout(coeff, cfg)
+        return np.asarray(fwd(jnp.asarray(np.stack([stored, stored]))))[0]
+
+    def unbridge(x):
+        two = jnp.asarray(np.stack([x, x]))
+        return from_dist_layout(np.asarray(inv(two))[0], cfg)
+
+    d_ct = lambda ct: np.stack([bridge(ct[0]), bridge(ct[1])])
+    d1, d2 = d_ct(ct1), d_ct(ct2)
+    batch1 = jnp.asarray(np.stack([d1, d1]))  # [B=2, 2, L, n]
+    batch2 = jnp.asarray(np.stack([d2, d2]))
+    d_hb = jnp.asarray(np.stack([bridge(hb[i]) for i in range(len(p.qs))]))
+    d_ha = jnp.asarray(np.stack([bridge(ha[i]) for i in range(len(p.qs))]))
+
+    run = make_dist_mul_relin(cfg, mesh)
+    out = np.asarray(run(batch1, batch2, d_hb, d_ha))  # [2, 2, L, n]
+    assert np.array_equal(out[0], out[1])
+    got0 = unbridge(out[0, 0])
+    got1 = unbridge(out[0, 1])
+    assert np.array_equal(got0, want_coeff[0])
+    assert np.array_equal(got1, want_coeff[1])
