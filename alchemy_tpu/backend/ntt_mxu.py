@@ -1,0 +1,215 @@
+"""MXU-path negacyclic NTT: 4-step factorization as exact bf16 matmuls.
+
+The butterfly NTT (backend/ntt.py) is VPU/HBM-bound. The MXU path computes
+NTT_n = (DFT_n1 ⊗ I)·twiddle·(I ⊗ DFT_n2) with the per-factor DFTs as
+matrix multiplications on the systolic array:
+
+- 32-bit operands are split into four unsigned 8-bit digit planes;
+- each plane pair is multiplied as bf16×bf16 → f32 (products of 8-bit
+  values are exact in bf16/f32; row sums < 255·255·256 < 2^24 stay exact
+  in f32 for contraction size up to 256);
+- the seven diagonal sums S_t are recombined mod q with Shoup multiplies
+  by 2^(8t) mod q.
+
+Output slot order is the (k1, k2) grid order (k = k1 + n1·k2 at position
+k1·n2 + k2) — fixed and self-inverse; pointwise ct ops are order-agnostic
+(DESIGN.md). Matrices are natural-order DFTs (no bit reversal).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alchemy_tpu.backend.xla import _cond_sub, _split, mulmod_shoup, shoup_const
+from alchemy_tpu.nt.primes import root_of_unity
+
+MAX_FACTOR = 256  # contraction size bound keeping f32 sums < 2^24
+
+
+def _pick_split(n: int) -> tuple[int, int]:
+    """n = n1·n2 with both ≤ MAX_FACTOR, n1 as close to 128 as possible."""
+    best = None
+    n1 = 1
+    while n1 <= n:
+        n2 = n // n1
+        if n1 * n2 == n and n1 <= MAX_FACTOR and n2 <= MAX_FACTOR:
+            score = abs(n1 - 128)
+            if best is None or score < best[0]:
+                best = (score, n1, n2)
+        n1 *= 2
+    if best is None:
+        raise ValueError(f"ring size {n} too large for the 2-level MXU NTT")
+    return best[1], best[2]
+
+
+def _digit_planes_const(M: np.ndarray) -> np.ndarray:
+    """[4, rows, cols] bf16 digit planes of a u32 matrix (host)."""
+    planes = np.stack([(M >> (8 * d)) & 0xFF for d in range(4)])
+    return planes.astype(np.float32)  # cast to bf16 at use site
+
+
+@lru_cache(maxsize=None)
+def mxu_tables(n: int, qs: tuple[int, ...]):
+    """Host tables for the 4-step MXU NTT (cached numpy)."""
+    n1, n2 = _pick_split(n)
+    L = len(qs)
+    W1 = np.empty((L, n1, n1), dtype=np.int64)    # DFT over j1 (root w^n2)
+    W2 = np.empty((L, n2, n2), dtype=np.int64)    # DFT over j2 (root w^n1)
+    W1i = np.empty((L, n1, n1), dtype=np.int64)
+    W2i = np.empty((L, n2, n2), dtype=np.int64)
+    tw = np.empty((L, n1, n2), dtype=np.uint32)   # w^(k1·j2)
+    tw_s = np.empty((L, n1, n2), dtype=np.uint32)
+    itw = np.empty((L, n1, n2), dtype=np.uint32)
+    itw_s = np.empty((L, n1, n2), dtype=np.uint32)
+    pre = np.empty((L, n), dtype=np.uint32)
+    pre_s = np.empty((L, n), dtype=np.uint32)
+    post = np.empty((L, n), dtype=np.uint32)      # ψ^{-j}·n^{-1}, in (j1,j2) grid
+    post_s = np.empty((L, n), dtype=np.uint32)
+    for li, q in enumerate(qs):
+        psi = root_of_unity(2 * n, q)
+        w = psi * psi % q
+        w1 = pow(w, n2, q)
+        w2 = pow(w, n1, q)
+        w1i = pow(w1, -1, q)
+        w2i = pow(w2, -1, q)
+        n_inv = pow(n, -1, q)
+        for a in range(n1):
+            for b in range(n1):
+                W1[li, a, b] = pow(w1, a * b, q)
+                W1i[li, a, b] = pow(w1i, a * b, q)
+        for a in range(n2):
+            for b in range(n2):
+                W2[li, a, b] = pow(w2, a * b, q)
+                W2i[li, a, b] = pow(w2i, a * b, q)
+        for k1 in range(n1):
+            for j2 in range(n2):
+                v = pow(w, k1 * j2, q)
+                tw[li, k1, j2] = v
+                tw_s[li, k1, j2] = (v << 32) // q
+                u = pow(v, -1, q)
+                itw[li, k1, j2] = u
+                itw_s[li, k1, j2] = (u << 32) // q
+        psi_inv = pow(psi, -1, q)
+        for j1 in range(n1):
+            for j2 in range(n2):
+                j = j1 * n2 + j2
+                pos = j1 * n2 + j2  # natural storage, (j1, j2) grid C-order
+                v = pow(psi, j, q)
+                pre[li, pos] = v
+                pre_s[li, pos] = (v << 32) // q
+                u = pow(psi_inv, j, q) * n_inv % q
+                post[li, pos] = u
+                post_s[li, pos] = (u << 32) // q
+
+    def planes(M):
+        # [L, 4, rows, cols] digit planes (f32 host; bf16 on device)
+        return np.stack([_digit_planes_const(M[li].astype(np.uint32)) for li in range(len(qs))])
+
+    qcol = np.array(qs, dtype=np.uint32)[:, None, None]
+    pow8 = np.empty((7, L), dtype=np.uint32)
+    pow8_s = np.empty((7, L), dtype=np.uint32)
+    for t in range(7):
+        for li, q in enumerate(qs):
+            v = pow(2, 8 * t, q)
+            pow8[t, li] = v
+            pow8_s[t, li] = (v << 32) // q
+    r16 = np.array([(1 << 16) % q for q in qs], dtype=np.uint32)[:, None, None]
+    r16s = np.array(
+        [shoup_const((1 << 16) % q, q) for q in qs], dtype=np.uint32
+    )[:, None, None]
+    return {
+        "n1": n1,
+        "n2": n2,
+        "W1": planes(W1), "W2": planes(W2), "W1i": planes(W1i), "W2i": planes(W2i),
+        "tw": (tw, tw_s), "itw": (itw, itw_s),
+        "pre": (pre, pre_s), "post": (post, post_s),
+        "q": qcol, "pow8": pow8, "pow8_s": pow8_s, "r16": r16, "r16s": r16s,
+    }
+
+
+def _digit_planes_runtime(x):
+    """[..., 4-plane] bf16 digit planes of a u32 array (device)."""
+    planes = [
+        ((x >> np.uint32(8 * d)) & np.uint32(0xFF)).astype(jnp.bfloat16)
+        for d in range(4)
+    ]
+    return planes
+
+
+def _reduce_u32g(v, q, r16, r16s):
+    ll, lh = _split(v)
+    return _cond_sub(mulmod_shoup(lh, r16, r16s, q) + ll, q)
+
+
+def _matmul_mod(x, Wp, t):
+    """Modular matmul over the MXU: x [..., L, R, K] u32 × W [L, 4, K_out, K]
+    (digit planes; DFT matrix applied as out[r, a] = Σ_b W[a, b]·x[r, b]).
+
+    Returns [..., L, R, K_out] u32 mod q. Each bf16 matmul result is exact in
+    f32 (row sums < 2^24 for K ≤ 256); diagonal sums are accumulated in u32
+    (up to 4·2^24, which f32 could not hold exactly)."""
+    q, r16, r16s = t["q"], t["r16"], t["r16s"]
+    xp = _digit_planes_runtime(x)
+    Wb = Wp.astype(jnp.bfloat16)
+    # diag sums S_t = Σ_{d+e=t} x_d @ W_e^T, accumulated exactly in u32
+    sums = [None] * 7
+    for d in range(4):
+        for e in range(4):
+            # einsum over K: [..., L, R, K] × [L, K_out, K] → [..., L, R, K_out]
+            prod = jnp.einsum(
+                "...lrk,lak->...lra", xp[d], Wb[:, e],
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.uint32)
+            i = d + e
+            sums[i] = prod if sums[i] is None else sums[i] + prod
+    out = None
+    for i in range(7):
+        red = _reduce_u32g(sums[i], q, r16, r16s)
+        term = mulmod_shoup(red, t["pow8"][i][:, None, None], t["pow8_s"][i][:, None, None], q)
+        out = term if out is None else _cond_sub(out + term, q)
+    return out
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def ntt_mxu(x, n: int, qs: tuple[int, ...]):
+    """Forward negacyclic NTT via MXU matmuls; x [..., L, n] natural order in,
+    (k1, k2) grid order out."""
+    t = mxu_tables(n, qs)
+    n1, n2 = t["n1"], t["n2"]
+    pre, pre_s = t["pre"]
+    q2 = t["q"][:, :, 0]
+    x = mulmod_shoup(x, pre, pre_s, q2)
+    lead = x.shape[:-2]
+    L = x.shape[-2]
+    x = x.reshape(*lead, L, n1, n2)
+    # DFT over j1: treat j2 as the row axis R → transpose to [..., L, n2, n1]
+    x = jnp.swapaxes(x, -1, -2)
+    y = _matmul_mod(x, t["W1"], t)          # [..., L, n2, n1] → k1
+    y = jnp.swapaxes(y, -1, -2)                    # [..., L, k1, j2]
+    twv, tws = t["tw"]
+    y = mulmod_shoup(y, twv, tws, t["q"])
+    z = _matmul_mod(y, t["W2"], t)          # over j2 → k2: [..., L, k1, k2]
+    return z.reshape(*lead, L, n)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def intt_mxu(x, n: int, qs: tuple[int, ...]):
+    """Inverse of ntt_mxu ((k1,k2) grid in, natural order out)."""
+    t = mxu_tables(n, qs)
+    n1, n2 = t["n1"], t["n2"]
+    lead = x.shape[:-2]
+    L = x.shape[-2]
+    x = x.reshape(*lead, L, n1, n2)
+    z = _matmul_mod(x, t["W2i"], t)          # inverse over k2 → j2
+    itwv, itws = t["itw"]
+    z = mulmod_shoup(z, itwv, itws, t["q"])
+    z = jnp.swapaxes(z, -1, -2)                    # [..., L, j2, k1]
+    y = _matmul_mod(z, t["W1i"], t)          # inverse over k1 → j1
+    y = jnp.swapaxes(y, -1, -2).reshape(*lead, L, n)
+    post, post_s = t["post"]
+    q2 = t["q"][:, :, 0]
+    return mulmod_shoup(y, post, post_s, q2)

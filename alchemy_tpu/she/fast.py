@@ -22,7 +22,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os
+
 from alchemy_tpu.backend.ntt import intt_negacyclic, ntt_negacyclic, ntt_tables
+from alchemy_tpu.backend.ntt_mxu import intt_mxu, ntt_mxu
+
+#: default NTT implementation for the fused fast path: "mxu" (4-step bf16
+#: digit-plane matmuls on the systolic array — DESIGN.md MXU section) or
+#: "vpu" (radix-2 butterflies; the right choice on CPU). Both are exact;
+#: slot orders differ but are internally consistent, so all fused ops and
+#: decrypt agree within one FastParams.
+DEFAULT_NTT_IMPL = _os.environ.get("ALCHEMY_NTT_IMPL", "mxu")
 from alchemy_tpu.backend.xla import (
     _cond_sub,
     _split,
@@ -41,14 +51,24 @@ class FastParams:
     n: int                    # φ(m') — power of two
     qs: tuple[int, ...]       # RNS chain (all ≡ 1 mod 2n)
     zp: int = 2               # plaintext modulus
+    impl: str = DEFAULT_NTT_IMPL  # "mxu" | "vpu"
 
     @staticmethod
-    def make(log_n: int, nlimb: int, zp: int = 2, bits: int = 30) -> "FastParams":
+    def make(log_n: int, nlimb: int, zp: int = 2, bits: int = 30,
+             impl: str = DEFAULT_NTT_IMPL) -> "FastParams":
         n = 1 << log_n
         qs: list[int] = []
         while len(qs) < nlimb:
             qs.append(find_ntt_prime(2 * n, bits, avoid=tuple(qs)))
-        return FastParams(n=n, qs=tuple(qs), zp=zp)
+        return FastParams(n=n, qs=tuple(qs), zp=zp, impl=impl)
+
+
+def _ntt_p(p, x):
+    return ntt_mxu(x, p.n, p.qs) if p.impl == "mxu" else ntt_negacyclic(x, p.n, p.qs)
+
+
+def _intt_p(p, x):
+    return intt_mxu(x, p.n, p.qs) if p.impl == "mxu" else intt_negacyclic(x, p.n, p.qs)
 
 
 def _reduce_u32(v, q, r16, r16s):
@@ -81,12 +101,25 @@ def keygen(p: FastParams, rng: np.random.Generator, variance: float = 1.0):
     """Secret key in NTT domain: [L, n]."""
     s = gaussian_coeffs(rng, variance, p.n)
     s_res = jnp.asarray(np.stack([s % q for q in p.qs]).astype(np.uint32))
-    return ntt_negacyclic(s_res, p.n, p.qs)
+    return _ntt_p(p, s_res)
 
 
-def relin_hint(p: FastParams, s_ntt, rng: np.random.Generator, variance: float = 1.0):
+def shoup_precompute(arr, qs: tuple[int, ...]) -> tuple:
+    """Host-side Shoup companions for runtime-constant device data (hints):
+    returns (values, companions) for use with mulmod_shoup. `arr` has the
+    limb axis second-to-last."""
+    host = np.asarray(arr).astype(np.uint64)
+    q = np.asarray(qs, dtype=np.uint64)[:, None]
+    comp = ((host.astype(object) << 32) // q).astype(np.uint64).astype(np.uint32)
+    return jnp.asarray(np.asarray(arr)), jnp.asarray(comp)
+
+
+def relin_hint(p: FastParams, s_ntt, rng: np.random.Generator, variance: float = 1.0,
+               shoup: bool = False):
     """CRT-gadget hint for s² under s: returns (B, A) each [L, L, n] in the
-    NTT domain; row i satisfies B_i + A_i·s = g_i·s² + zp·e_i (mod Q)."""
+    NTT domain; row i satisfies B_i + A_i·s = g_i·s² + zp·e_i (mod Q).
+    With shoup=True, each of B and A is a (values, companions) pair for the
+    Shoup fast path in mul_relin."""
     L, n = len(p.qs), p.n
     Q = 1
     for q in p.qs:
@@ -97,10 +130,10 @@ def relin_hint(p: FastParams, s_ntt, rng: np.random.Generator, variance: float =
         Qi = Q // qi
         g = Qi * pow(Qi % qi, -1, qi) % Q
         a = jnp.asarray(uniform_residues(rng, p.qs, n).astype(np.uint32))
-        a_ntt = ntt_negacyclic(a, n, p.qs)
+        a_ntt = _ntt_p(p, a)
         e = gaussian_coeffs(rng, variance, n)
         e_res = jnp.asarray(np.stack([(e * p.zp) % q for q in p.qs]).astype(np.uint32))
-        e_ntt = ntt_negacyclic(e_res, n, p.qs)
+        e_ntt = _ntt_p(p, e_res)
         g_limbs = np.array([g % q for q in p.qs], dtype=np.uint32)[:, None]
         g_s = np.array(
             [shoup_const(g % q, q) for q in p.qs], dtype=np.uint32
@@ -109,7 +142,10 @@ def relin_hint(p: FastParams, s_ntt, rng: np.random.Generator, variance: float =
         b = _sub(_add(gs2, e_ntt, p), mulmod(a_ntt, s_ntt, p.qs), p)
         Bs.append(b)
         As.append(a_ntt)
-    return jnp.stack(Bs), jnp.stack(As)
+    B, A = jnp.stack(Bs), jnp.stack(As)
+    if shoup:
+        return shoup_precompute(B, p.qs), shoup_precompute(A, p.qs)
+    return B, A
 
 
 def encrypt(p: FastParams, s_ntt, msg_coeffs: np.ndarray, rng: np.random.Generator,
@@ -119,12 +155,12 @@ def encrypt(p: FastParams, s_ntt, msg_coeffs: np.ndarray, rng: np.random.Generat
     lift = np.asarray(msg_coeffs, dtype=np.int64) % p.zp
     lift = np.where(lift > p.zp // 2, lift - p.zp, lift)
     mu = jnp.asarray(np.stack([lift % q for q in p.qs]).astype(np.uint32))
-    mu_ntt = ntt_negacyclic(mu, n, p.qs)
+    mu_ntt = _ntt_p(p, mu)
     a = jnp.asarray(uniform_residues(rng, p.qs, n).astype(np.uint32))
-    a_ntt = ntt_negacyclic(a, n, p.qs)
+    a_ntt = _ntt_p(p, a)
     e = gaussian_coeffs(rng, variance, n)
     pe = jnp.asarray(np.stack([(e * p.zp) % q for q in p.qs]).astype(np.uint32))
-    pe_ntt = ntt_negacyclic(pe, n, p.qs)
+    pe_ntt = _ntt_p(p, pe)
     c0 = _sub(_add(mu_ntt, pe_ntt, p), mulmod(a_ntt, s_ntt, p.qs), p)
     return jnp.stack([c0, a_ntt])
 
@@ -136,7 +172,7 @@ def decrypt(p: FastParams, s_ntt, ct) -> np.ndarray:
     for k in range(1, ct.shape[0]):
         spow = s_ntt if spow is None else mulmod(spow, s_ntt, p.qs)
         acc = _add(acc, mulmod(ct[k], spow, p.qs), p)
-    coeff = np.asarray(intt_negacyclic(acc, p.n, p.qs)).astype(np.int64)
+    coeff = np.asarray(_intt_p(p, acc)).astype(np.int64)
     Q = 1
     for q in p.qs:
         Q *= q
@@ -169,30 +205,42 @@ def _sub(a, b, p: FastParams):
 
 @partial(jax.jit, static_argnums=0)
 def mul_relin(p: FastParams, ct_a, ct_b, hint_b, hint_a):
-    """Fused BGV multiply + relinearize: [2, L, n] × [2, L, n] → [2, L, n].
+    """Fused BGV multiply + relinearize: [..., 2, L, n] × [..., 2, L, n] →
+    [..., 2, L, n] (leading batch dims supported; vmap-free batching).
 
-    Inputs/outputs in the NTT domain at the full chain; hints [L, L, n].
+    Inputs/outputs in the NTT domain at the full chain. Hints are either raw
+    values [L, L, n] (general mulmod applied) or Shoup-precomputed pairs
+    (values, companions) from `relin_hint(..., shoup=True)` — the fast path.
     """
     qs = p.qs
-    a0, a1 = ct_a[0], ct_a[1]
-    b0, b1 = ct_b[0], ct_b[1]
+    L = len(qs)
+    a0, a1 = ct_a[..., 0, :, :], ct_a[..., 1, :, :]
+    b0, b1 = ct_b[..., 0, :, :], ct_b[..., 1, :, :]
     c0 = mulmod(a0, b0, qs)
     c1 = _add(mulmod(a0, b1, qs), mulmod(a1, b0, qs), p)
     c2 = mulmod(a1, b1, qs)
     # CRT-gadget digits of c2: coefficients per limb, re-reduced to all limbs
-    c2_coeff = intt_negacyclic(c2, p.n, qs)
+    c2_coeff = _intt_p(p, c2)
     consts = _fast_consts(p)
+    # all digits at once: [..., Ldig, L, n]
+    rows = c2_coeff[..., :, None, :]                      # [..., Ldig, 1, n]
+    dig = _reduce_u32(
+        jnp.broadcast_to(rows, (*c2_coeff.shape[:-2], L, L, p.n)),
+        consts["q"], consts["r16"], consts["r16s"],
+    )
+    dig_ntt = _ntt_p(p, dig)                # one batched NTT
     out0, out1 = c0, c1
-    for i in range(len(qs)):
-        row = c2_coeff[i][None, :]  # [1, n] residues < q_i
-        dig = _reduce_u32(
-            jnp.broadcast_to(row, c2_coeff.shape),
-            consts["q"], consts["r16"], consts["r16s"],
-        )
-        dig_ntt = ntt_negacyclic(dig, p.n, qs)
-        out0 = _add(out0, mulmod(dig_ntt, hint_b[i], qs), p)
-        out1 = _add(out1, mulmod(dig_ntt, hint_a[i], qs), p)
-    return jnp.stack([out0, out1])
+    q = consts["q"]
+    shoup_hints = isinstance(hint_b, (tuple, list))
+    for i in range(L):
+        d = dig_ntt[..., i, :, :]
+        if shoup_hints:
+            out0 = _add(out0, mulmod_shoup(d, hint_b[0][i], hint_b[1][i], q), p)
+            out1 = _add(out1, mulmod_shoup(d, hint_a[0][i], hint_a[1][i], q), p)
+        else:
+            out0 = _add(out0, mulmod(d, hint_b[i], qs), p)
+            out1 = _add(out1, mulmod(d, hint_a[i], qs), p)
+    return jnp.stack([out0, out1], axis=-3)
 
 
 @partial(jax.jit, static_argnums=(0, 2))
@@ -206,7 +254,7 @@ def rescale(p: FastParams, ct, k_drop: int = 1):
     for _ in range(k_drop):
         n = p.n
         qs_t = tuple(qs)
-        coeff = intt_negacyclic(out, n, qs_t)  # [ncomp, L, n]
+        coeff = _intt_p(FastParams(n=p.n, qs=qs_t, zp=p.zp, impl=p.impl), out)  # [ncomp, L, n]
         qk = qs[-1]
         new_qs = tuple(qs[:-1])
         r = coeff[..., -1, :]
@@ -240,6 +288,6 @@ def rescale(p: FastParams, ct, k_drop: int = 1):
             )
         out = jnp.stack(rows, axis=-2)
         qs = list(new_qs)
-        p = FastParams(n=p.n, qs=tuple(qs), zp=p.zp)
-        out = ntt_negacyclic(out, p.n, p.qs)
+        p = FastParams(n=p.n, qs=tuple(qs), zp=p.zp, impl=p.impl)
+        out = _ntt_p(p, out)
     return out

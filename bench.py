@@ -50,32 +50,39 @@ def _timed_loop(step, state, min_seconds: float = 1.0):
         iters *= 2
 
 
-def bench_on(device, p, rng, min_seconds=1.0):
+def bench_on(device, p, rng, min_seconds=1.0, batch: int = 1):
     import jax
+    import jax.numpy as jnp
     from alchemy_tpu.she import fast
 
     with jax.default_device(device):
         s = fast.keygen(p, rng)
-        hb, ha = fast.relin_hint(p, s, rng)
+        hb, ha = fast.relin_hint(p, s, rng, shoup=True)
         ct1 = fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
         ct2 = fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
+        if batch > 1:
+            ct1 = jnp.broadcast_to(ct1[None], (batch, *ct1.shape))
+            ct2 = jnp.broadcast_to(ct2[None], (batch, *ct2.shape))
         out = fast.mul_relin(p, ct1, ct2, hb, ha)  # compile + warm
         _sync(out)
-        return _timed_loop(lambda o: fast.mul_relin(p, ct1, o, hb, ha), out, min_seconds)
+        ops, per = _timed_loop(
+            lambda o: fast.mul_relin(p, ct1, o, hb, ha), out, min_seconds
+        )
+        return ops * batch, per / batch
 
 
 def bench_ntt(device, p, min_seconds=1.0):
     import jax
     import jax.numpy as jnp
-    from alchemy_tpu.backend.ntt import ntt_negacyclic
+    from alchemy_tpu.she.fast import _ntt_p
 
     rng = np.random.default_rng(0)
     x = np.stack([rng.integers(0, q, p.n) for q in p.qs]).astype(np.uint32)
     with jax.default_device(device):
         xd = jnp.asarray(x)
-        y = ntt_negacyclic(xd, p.n, p.qs)
+        y = _ntt_p(p, xd)
         _sync(y)
-        ops, lat = _timed_loop(lambda v: ntt_negacyclic(v, p.n, p.qs), y, min_seconds)
+        ops, lat = _timed_loop(lambda v: _ntt_p(p, v), y, min_seconds)
         return lat
 
 
@@ -86,16 +93,21 @@ def main():
     log_n = int(os.environ.get("BENCH_LOG_N", "15"))
     nlimb = int(os.environ.get("BENCH_NLIMB", "8"))
     secs = float(os.environ.get("BENCH_SECONDS", "2.0"))
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
 
-    p = FastParams.make(log_n, nlimb, zp=2)
+    accel_impl = os.environ.get("BENCH_IMPL", "mxu")
+    p = FastParams.make(log_n, nlimb, zp=2, impl=accel_impl)
     rng = np.random.default_rng(0)
 
     devs = jax.devices()
     accel = devs[0]
-    log(f"accelerator: {accel} | ring n=2^{log_n}, limbs={nlimb}")
+    if accel.platform == "cpu":
+        p = FastParams.make(log_n, nlimb, zp=2, impl="vpu")
+    log(f"accelerator: {accel} | ring n=2^{log_n}, limbs={nlimb}, impl={p.impl}")
 
-    ops_accel, per_op = bench_on(accel, p, rng, secs)
-    log(f"mul_relin on {accel.platform}: {ops_accel:.2f} ops/s ({per_op*1e3:.3f} ms/op)")
+    ops_accel, per_op = bench_on(accel, p, rng, secs, batch=batch)
+    log(f"mul_relin on {accel.platform} (batch={batch}): "
+        f"{ops_accel:.2f} ops/s ({per_op*1e3:.3f} ms/op)")
 
     ntt_lat = bench_ntt(accel, p, secs)
     log(f"NTT (n=2^{log_n}, {nlimb} limbs) latency: {ntt_lat*1e6:.0f} us")
@@ -104,7 +116,10 @@ def main():
     try:
         cpus = jax.devices("cpu")
         if cpus and cpus[0].platform != accel.platform:
-            ops_cpu, _ = bench_on(cpus[0], p, np.random.default_rng(0), min(secs, 1.0))
+            from alchemy_tpu.she.fast import FastParams as _FP
+
+            p_cpu = _FP.make(log_n, nlimb, zp=2, impl="vpu")
+            ops_cpu, _ = bench_on(cpus[0], p_cpu, np.random.default_rng(0), min(secs, 1.0))
             log(f"mul_relin on cpu: {ops_cpu:.2f} ops/s")
             vs = ops_accel / ops_cpu
     except Exception as e:  # CPU backend may be unavailable under the driver

@@ -4,6 +4,7 @@ import os
 # The axon TPU plugin overrides JAX_PLATFORMS at import, so pin it again via
 # jax.config after import.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("ALCHEMY_NTT_IMPL", "vpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

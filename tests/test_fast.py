@@ -84,7 +84,7 @@ def test_fast_rescale_correct():
     msg = rng.integers(0, 2, p.n)
     ct = fast.encrypt(p, s, msg, rng)
     down = fast.rescale(p, ct, 1)
-    p_down = FastParams(n=p.n, qs=p.qs[:-1], zp=p.zp)
+    p_down = FastParams(n=p.n, qs=p.qs[:-1], zp=p.zp, impl=p.impl)
     s_down = ntt_negacyclic(
         jnp.asarray(np.stack([s_int % q for q in p_down.qs]).astype(np.uint32)),
         p_down.n, p_down.qs,
@@ -92,3 +92,40 @@ def test_fast_rescale_correct():
     # the dropped prime is ≡ 1 mod 2 ... scale factor: q_k mod 2 = 1
     got = fast.decrypt(p_down, s_down, down)
     assert np.array_equal(got, msg % 2)
+
+
+def test_mxu_ntt_matches_ring_mul():
+    # exactness of the MXU digit-plane matmul path at a small size
+    import jax.numpy as jnp
+    from alchemy_tpu.backend.ntt_mxu import intt_mxu, ntt_mxu
+    from alchemy_tpu.backend.xla import mulmod
+
+    p = FastParams.make(8, 2, zp=8)
+    m = 2 * p.n
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, min(p.qs), p.n)
+    b = rng.integers(0, min(p.qs), p.n)
+    fa = ntt_mxu(jnp.asarray(np.stack([a % q for q in p.qs]).astype(np.uint32)), p.n, p.qs)
+    fb = ntt_mxu(jnp.asarray(np.stack([b % q for q in p.qs]).astype(np.uint32)), p.n, p.qs)
+    prod = intt_mxu(mulmod(fa, fb, p.qs), p.n, p.qs)
+    ca = Cyc.from_coeffs(m, p.qs, np.stack([a % q for q in p.qs]), GB)
+    cb = Cyc.from_coeffs(m, p.qs, np.stack([b % q for q in p.qs]), GB)
+    want = GB.to_numpy((ca * cb).to_pow().data)
+    assert np.array_equal(np.asarray(prod).astype(np.int64), want)
+
+
+def test_fast_mul_relin_mxu_impl():
+    p = FastParams.make(6, 2, zp=2, impl="mxu")
+    rng = np.random.default_rng(10)
+    s = fast.keygen(p, rng)
+    hb, ha = fast.relin_hint(p, s, rng, shoup=True)
+    m1 = rng.integers(0, 2, p.n)
+    m2 = rng.integers(0, 2, p.n)
+    ct1 = fast.encrypt(p, s, m1, rng)
+    ct2 = fast.encrypt(p, s, m2, rng)
+    out = fast.mul_relin(p, ct1, ct2, hb, ha)
+    mm = 2 * p.n
+    c1 = Cyc.from_coeffs(mm, (2,), m1, GB)
+    c2 = Cyc.from_coeffs(mm, (2,), m2, GB)
+    want = GB.to_numpy((c1 * c2).to_pow().data)[0]
+    assert np.array_equal(fast.decrypt(p, s, out), want)
