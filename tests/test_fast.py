@@ -129,3 +129,10 @@ def test_fast_mul_relin_mxu_impl():
     c2 = Cyc.from_coeffs(mm, (2,), m2, GB)
     want = GB.to_numpy((c1 * c2).to_pow().data)[0]
     assert np.array_equal(fast.decrypt(p, s, out), want)
+
+
+def test_deep_circuit_depth16():
+    from alchemy_tpu.examples.deep_circuit import run
+
+    ok, depth = run(log_n=8, depth=16, verbose=False, impl="vpu")
+    assert ok and depth == 16
