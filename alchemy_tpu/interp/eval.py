@@ -78,7 +78,69 @@ def _prim_value(name: str, payload):
         return lambda p: p[1]
     if name == "string_":
         return payload
+    if name in _MONAD_PRIMS:
+        return _MONAD_PRIMS[name](payload)
     raise ValueError(f"eval: unknown primitive {name!r}")
+
+
+# Object-language monad primitives (reference Language/Monad.hs; Eval.hs
+# instances 101-118). Monads are represented structurally:
+#   writer: (value, log_list)   reader: unary function   list: Python list
+def _monad_fmap(m):
+    def go(f):
+        def on(v):
+            if m == "writer":
+                return (f(v[0]), v[1])
+            if m == "reader":
+                return lambda r: f(v(r))
+            return [f(x) for x in v]
+        return on
+    return go
+
+
+def _monad_pure(m):
+    if m == "writer":
+        return lambda a: (a, [])
+    if m == "reader":
+        return lambda a: (lambda _r: a)
+    return lambda a: [a]
+
+
+def _monad_ap(m):
+    def go(mf):
+        def on(ma):
+            if m == "writer":
+                return (mf[0](ma[0]), mf[1] + ma[1])
+            if m == "reader":
+                return lambda r: mf(r)(ma(r))
+            return [f(a) for f in mf for a in ma]
+        return on
+    return go
+
+
+def _monad_bind(m):
+    def go(ma):
+        def on(k):
+            if m == "writer":
+                b = k(ma[0])
+                return (b[0], ma[1] + b[1])
+            if m == "reader":
+                return lambda r: k(ma(r))(r)
+            return [b for a in ma for b in k(a)]
+        return on
+    return go
+
+
+_MONAD_PRIMS = {
+    "fmap_": _monad_fmap,
+    "pure_": _monad_pure,
+    "ap_": _monad_ap,
+    "bind_": _monad_bind,
+    "tell_": lambda _m: (lambda w: (None, list(w))),
+    "listen_": lambda _m: (lambda ma: ((ma[0], ma[1]), ma[1])),
+    "ask_": lambda _m: (lambda r: r),
+    "local_": lambda _m: (lambda f: lambda ma: lambda r: ma(f(r))),
+}
 
 
 def _eval(node: Node, env: tuple):

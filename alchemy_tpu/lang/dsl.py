@@ -156,3 +156,43 @@ def snd_() -> Node:
 
 def string_(s: str) -> Node:
     return Prim("string_", s)
+
+
+# object-language functor/applicative/monad hierarchy (Language/Monad.hs).
+# The reference needs these so ErrorRateWriter can emit Kleisli object
+# programs; in this rebuild ERW is an instrumented evaluation mode
+# (interp/error_writer.py, per SURVEY.md §3.5), and these primitives exist
+# for API surface parity. The payload names the concrete monad
+# ('writer' | 'reader' | 'list') since Python has no type-directed
+# instance resolution.
+
+def fmap_(monad: str = "writer") -> Node:
+    return Prim("fmap_", monad)
+
+
+def pure_(monad: str = "writer") -> Node:
+    return Prim("pure_", monad)
+
+
+def ap_(monad: str = "writer") -> Node:
+    return Prim("ap_", monad)
+
+
+def bind_(monad: str = "writer") -> Node:
+    return Prim("bind_", monad)
+
+
+def tell_() -> Node:
+    return Prim("tell_", "writer")
+
+
+def listen_() -> Node:
+    return Prim("listen_", "writer")
+
+
+def ask_() -> Node:
+    return Prim("ask_", "reader")
+
+
+def local_() -> Node:
+    return Prim("local_", "reader")

@@ -100,3 +100,39 @@ def test_arithmetic_example_passes():
 
     assert run(seed=1, verbose=False)
     assert run(seed=2, verbose=False)
+
+
+def test_serialize_keys_roundtrip(tmp_path):
+    from alchemy_tpu.interp.keys_hints import KeysHints
+    from alchemy_tpu.she.serialize import load_keys, save_keys
+
+    ctx = KeysHints(3.0, seed=5)
+    sk = ctx.get_key(32)
+    path = str(tmp_path / "keys.npz")
+    save_keys(ctx, path)
+    ctx2 = load_keys(path)
+    assert ctx2.r == 3.0
+    assert np.array_equal(ctx2.keys[32].coeffs, sk.coeffs)
+    assert ctx2.keys[32].variance == sk.variance
+
+
+def test_object_language_monads():
+    from alchemy_tpu.lang import dsl
+    from alchemy_tpu.lang.ir import App
+
+    # writer: tell then bind
+    prog = App(
+        App(dsl.bind_("writer"), App(dsl.tell_(), App(App(dsl.cons_(), dsl.string_("log")), dsl.nil_()))),
+        lam(lambda _x: App(dsl.pure_("writer"), dsl.string_("done"))),
+    )
+    val, log = eval_ir(prog)
+    assert val == "done" and log == ["log"]
+    # reader: ask
+    prog2 = App(App(dsl.bind_("reader"), dsl.ask_()), lam(lambda x: App(dsl.pure_("reader"), x)))
+    assert eval_ir(prog2)(42) == 42
+
+
+def test_all_main():
+    from alchemy_tpu.examples.all_main import main
+
+    assert main()
