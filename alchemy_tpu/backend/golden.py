@@ -105,3 +105,57 @@ class GoldenBackend:
         """Take a single signed row [n] and reduce it into every limb."""
         q = self._q(qs)
         return np.broadcast_to(row[None, :], (nlimb, row.shape[0])) % q
+
+    # -- composite device ops (shared semantics with backend/xla.py) ---------
+
+    def stack_rows(self, rows):
+        return np.stack(rows)
+
+    def rescale_step(self, data, qs, zp):
+        """Drop the last limb q_k: (data − δ)/q_k with δ ≡ data (mod q_k),
+        δ ≡ 0 (mod zp), δ small. Exact; bit-identical across backends."""
+        qs = tuple(qs)
+        qk = qs[-1]
+        new_qs = qs[:-1]
+        r = data[-1].astype(np.int64)
+        r = np.where(r > qk // 2, r - qk, r)
+        t = (-r) * pow(qk, -1, zp) % zp
+        t = np.where(t > zp // 2, t - zp, t)
+        delta = r + qk * t
+        out = []
+        for i, q in enumerate(new_qs):
+            inv_qk = pow(qk, -1, q)
+            out.append((data[i] - delta) % q * inv_qk % q)
+        return np.stack(out)
+
+    def modswitch_up(self, data, old_qs, new_qs):
+        """Exact scaling to a longer prefix: old limbs ×(∏ new extra limbs),
+        new limbs ≡ 0."""
+        d = 1
+        for q in new_qs[len(old_qs):]:
+            d *= q
+        rows = [data[i] * (d % q) % q for i, q in enumerate(old_qs)]
+        rows += [np.zeros(data.shape[1], dtype=np.int64) for _ in new_qs[len(old_qs):]]
+        return np.stack(rows)
+
+    def gadget_digit_rows(self, data, qs, base):
+        """[D, L, n] digit rows of POW-basis residues. base=None → CRT/Triv
+        digits (row i = limb-i residues reduced into every limb);
+        base=b → per-limb base-b digits."""
+        L = len(qs)
+        qcol = np.asarray(qs, dtype=np.int64)[:, None]
+        out = []
+        for i, qi in enumerate(qs):
+            row = data[i].astype(np.int64)
+            if base is None:
+                out.append(np.broadcast_to(row[None, :], (L, row.shape[0])) % qcol)
+            else:
+                nd = 0
+                v = qi - 1
+                while v:
+                    nd += 1
+                    v //= base
+                for k in range(nd):
+                    dig = (row // base**k) % base
+                    out.append(np.broadcast_to(dig[None, :], (L, row.shape[0])) % qcol)
+        return np.stack(out)

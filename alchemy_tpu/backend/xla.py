@@ -236,6 +236,48 @@ class XlaBackend:
         r = np.asarray(row, dtype=np.int64)
         return self.asarray(np.broadcast_to(r[None, :], (nlimb, r.shape[0])), qs)
 
+    # -- composite device ops (bit-identical to backend/golden.py) ----------
+
+    def stack_rows(self, rows):
+        return jnp.stack(rows)
+
+    def rescale_step(self, data, qs, zp):
+        return _xla_rescale_step(data, tuple(qs), int(zp))
+
+    def modswitch_up(self, data, old_qs, new_qs):
+        old_qs, new_qs = tuple(old_qs), tuple(new_qs)
+        d = 1
+        for q in new_qs[len(old_qs):]:
+            d *= q
+        rows = []
+        for i, q in enumerate(old_qs):
+            w = np.uint32(d % q)
+            rows.append(mulmod_shoup(data[i], w, np.uint32(shoup_const(d % q, q)), np.uint32(q)))
+        zero = jnp.zeros_like(data[0])
+        rows += [zero for _ in new_qs[len(old_qs):]]
+        return jnp.stack(rows)
+
+    def gadget_digit_rows(self, data, qs, base):
+        qs = tuple(qs)
+        L = len(qs)
+        out = []
+        for i, qi in enumerate(qs):
+            row = data[i][None, :]
+            if base is None:
+                out.append(_reduce_u32_any(jnp.broadcast_to(row, data.shape), qs))
+            else:
+                nd = 0
+                v = qi - 1
+                while v:
+                    nd += 1
+                    v //= base
+                for k in range(nd):
+                    dig = (row // np.uint32(base**k)) % np.uint32(base)
+                    out.append(
+                        _reduce_u32_any(jnp.broadcast_to(dig, data.shape), qs)
+                    )
+        return jnp.stack(out)
+
 
 def _modsum(prod, axis: int, q):
     """Tree-sum mod q along `axis` (pads to a power of two)."""
@@ -255,3 +297,48 @@ def _modsum(prod, axis: int, q):
         s = a + b
         prod = jnp.where(s >= q, s - q, s)
     return jnp.squeeze(prod, axis=axis)
+
+
+def _reduce_u32_any(v, qs: tuple[int, ...]):
+    """v mod q for arbitrary uint32 v with per-limb q (q > 2^16)."""
+    c = _qconsts(qs)
+    ll, lh = _split(v)
+    return _cond_sub(mulmod_shoup(lh, c["r16"], c["r16s"], c["q"]) + ll, c["q"])
+
+
+def _xla_rescale_step(data, qs: tuple[int, ...], zp: int):
+    qk = qs[-1]
+    new_qs = qs[:-1]
+    r = data[-1]
+    half = np.uint32(qk // 2)
+    is_neg = r > half
+    pz = np.uint32(zp)
+    r_mod_p = r % pz
+    qk_mod_p = np.uint32(qk % zp)
+    rc_mod_p = jnp.where(is_neg, (r_mod_p + pz - qk_mod_p) % pz, r_mod_p)
+    inv_qk_p = np.uint32(pow(qk, -1, zp))
+    t = (((pz - rc_mod_p) % pz) * inv_qk_p) % pz
+    t_neg = t > pz // np.uint32(2)
+    rows = []
+    for j, qj in enumerate(new_qs):
+        qj32 = np.uint32(qj)
+        r16 = np.uint32((1 << 16) % qj)
+        r16s = np.uint32(shoup_const((1 << 16) % qj, qj))
+        ll, lh = _split(r)
+        r_red = _cond_sub(mulmod_shoup(lh, r16, r16s, qj32) + ll, qj32)
+        qk_mod = np.uint32(qk % qj)
+        rc = jnp.where(
+            is_neg,
+            jnp.where(r_red >= qk_mod, r_red - qk_mod, r_red + qj32 - qk_mod),
+            r_red,
+        )
+        tc = jnp.where(t_neg, qj32 - (pz - t), t)
+        qkt = mulmod_shoup(tc, qk_mod, np.uint32(shoup_const(qk % qj, qj)), qj32)
+        delta = _cond_sub(rc + qkt, qj32)
+        cj = data[j]
+        diff = jnp.where(cj >= delta, cj - delta, cj + qj32 - delta)
+        inv_qk = pow(qk, -1, qj)
+        rows.append(
+            mulmod_shoup(diff, np.uint32(inv_qk), np.uint32(shoup_const(inv_qk, qj)), qj32)
+        )
+    return jnp.stack(rows)

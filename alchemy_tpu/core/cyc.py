@@ -268,15 +268,16 @@ class Cyc:
         for s, r in zip(subs, rels):
             split_shape.extend([s, r])
         arr = x.data.reshape(L, *split_shape)
-        # move all rel axes (odd positions) before sub axes
+        # move all rel axes (odd positions) before sub axes; method-based
+        # transpose/reshape work for both numpy and traced jax arrays
         k = len(subs)
         perm = [0] + [2 + 2 * i for i in range(k)] + [1 + 2 * i for i in range(k)]
-        arr = np.transpose(arr, perm) if isinstance(arr, np.ndarray) else arr.transpose(perm)
+        arr = arr.transpose(perm)
         rel_dim = int(np.prod(rels))
         arr = arr.reshape(L, rel_dim, -1)
         out = []
         for j in range(rel_dim):
-            out.append(Cyc(sub, self.qs, POW, arr[:, j, :].copy() if isinstance(arr, np.ndarray) else arr[:, j, :], self.bk))
+            out.append(Cyc(sub, self.qs, POW, arr[:, j, :], self.bk))
         return out
 
     @staticmethod
@@ -289,14 +290,18 @@ class Cyc:
         rel_dim = int(np.prod(rels))
         assert len(coeffs) == rel_dim
         L = len(qs)
-        arr = np.stack([np.asarray(c.to_pow().data) for c in coeffs], axis=1)
+        datas = [c.to_pow().data for c in coeffs]
+        arr = bk.stack_rows(datas) if not isinstance(datas[0], np.ndarray) else np.stack(datas)
+        arr = arr.transpose(1, 0, 2) if arr.ndim == 3 else arr  # [L, rel, phi_sub]
         arr = arr.reshape(L, *rels, *subs)
         k = len(subs)
         # current order: [rel axes..., sub axes...] -> interleave (sub, rel)
         perm = [0] + [x for i in range(k) for x in (1 + k + i, 1 + i)]
-        arr = np.transpose(arr, perm)
+        arr = arr.transpose(perm)
         arr = arr.reshape(L, ring.phi)
-        return Cyc(ring, tuple(qs), POW, bk.asarray(arr, tuple(qs)), bk)
+        if isinstance(arr, np.ndarray):
+            arr = bk.asarray(arr, tuple(qs))
+        return Cyc(ring, tuple(qs), POW, arr, bk)
 
     # -- host-side exact access ---------------------------------------------
 

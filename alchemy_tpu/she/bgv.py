@@ -176,24 +176,12 @@ def mul_public(pt: Cyc, ct: CT) -> CT:
 
 def _rescale_drop_last(c: Cyc, zp: int) -> Cyc:
     """Drop the last limb q_k: c' = (c − δ)/q_k with δ ≡ c (mod q_k),
-    δ ≡ 0 (mod p), δ small. Exact, elementwise, no base extension."""
-    bk = c.bk
-    qs = c.qs
-    qk = qs[-1]
-    new_qs = qs[:-1]
+    δ ≡ 0 (mod p), δ small. Exact, elementwise, no base extension
+    (device-resident; jit-traceable on the XLA backend)."""
     x = c.to_pow()
-    data = bk.to_numpy(x.data)
-    r = data[-1].astype(np.int64)
-    r = np.where(r > qk // 2, r - qk, r)  # centered lift of [c]_{q_k}
-    # correction t ≡ −r·q_k^{-1} (mod p), centered: δ = r + q_k·t ≡ 0 mod p
-    t = (-r) * pow(qk, -1, zp) % zp
-    t = np.where(t > zp // 2, t - zp, t)
-    delta = r + qk * t
-    out = []
-    for i, q in enumerate(new_qs):
-        inv_qk = pow(qk, -1, q)
-        out.append((data[i] - delta) % q * inv_qk % q)
-    return Cyc(c.ring, new_qs, "POW", bk.asarray(np.stack(out), new_qs), bk)
+    new_qs = c.qs[:-1]
+    out = c.bk.rescale_step(x.data, c.qs, zp)
+    return Cyc(c.ring, new_qs, "POW", out, c.bk)
 
 
 def mod_switch(ct: CT, new_qs: tuple[int, ...]) -> CT:
@@ -221,10 +209,7 @@ def mod_switch(ct: CT, new_qs: tuple[int, ...]) -> CT:
     comps = []
     for c in ct.comps:
         x = c.to_pow()
-        data = bk.to_numpy(x.data)
-        rows = [data[i] * (d % q) % q for i, q in enumerate(old)]
-        rows += [np.zeros(data.shape[1], dtype=np.int64) for _ in new[len(old):]]
-        comps.append(Cyc(c.ring, new, "POW", bk.asarray(np.stack(rows), new), bk))
+        comps.append(Cyc(c.ring, new, "POW", bk.modswitch_up(x.data, old, new), bk))
     return ct.with_comps(comps, scale=ct.scale * (d % ct.zp) % ct.zp)
 
 

@@ -67,12 +67,8 @@ class TrivGad(Gadget):
 
     def digits(self, c):
         arr = c.to_pow()
-        data = arr.bk.to_numpy(arr.data)
-        out = []
-        for i, q in enumerate(c.qs):
-            row = data[i].astype(np.int64)  # lift of [c]_{q_i}, in [0, q_i)
-            out.append(Cyc(arr.ring, arr.qs, "POW", arr.bk.broadcast_row(row, len(c.qs), c.qs), arr.bk))
-        return out
+        rows = arr.bk.gadget_digit_rows(arr.data, arr.qs, None)
+        return [Cyc(arr.ring, arr.qs, "POW", rows[i], arr.bk) for i in range(len(c.qs))]
 
     def digit_noise_bits(self, qs):
         import math
@@ -111,14 +107,11 @@ class BaseBGad(Gadget):
 
     def digits(self, c):
         arr = c.to_pow()
-        data = arr.bk.to_numpy(arr.data)
-        out = []
-        for i, q in enumerate(c.qs):
-            row = data[i].astype(np.int64)
-            for k in range(self._limb_digits(q)):
-                d = (row // self.base**k) % self.base
-                out.append(Cyc(arr.ring, arr.qs, "POW", arr.bk.broadcast_row(d, len(c.qs), c.qs), arr.bk))
-        return out
+        rows = arr.bk.gadget_digit_rows(arr.data, arr.qs, self.base)
+        return [
+            Cyc(arr.ring, arr.qs, "POW", rows[i], arr.bk)
+            for i in range(rows.shape[0])
+        ]
 
     def digit_noise_bits(self, qs):
         import math

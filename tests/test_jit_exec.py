@@ -1,0 +1,66 @@
+"""Whole-program jit compilation: one XLA executable per compiled ciphertext
+expression, equal to eager evaluation and decrypting correctly."""
+
+import numpy as np
+import pytest
+
+from alchemy_tpu.backend import xla_backend
+from alchemy_tpu.core.cyc import Cyc
+from alchemy_tpu.core.params import RnsChain
+from alchemy_tpu.interp.eval import eval_ir
+from alchemy_tpu.interp.jit_exec import jit_compile
+from alchemy_tpu.interp.keys_hints import KeysHints
+from alchemy_tpu.interp.noise import PtTy
+from alchemy_tpu.interp.pt2ct import pt2ct
+from alchemy_tpu.lang.dsl import lam2
+from alchemy_tpu.nt.factor import totient
+from alchemy_tpu.she.gadget import TrivGad
+
+XB = xla_backend()
+
+
+def test_jit_arithmetic_whole_program():
+    from alchemy_tpu.examples.arithmetic import M, M_MAP, PT, ZP, ZQS, addMul
+
+    rng = np.random.default_rng(0)
+    bk = XB
+    pt1 = Cyc.from_coeffs(M, (ZP,), rng.integers(0, ZP, totient(M)), bk)
+    pt2 = Cyc.from_coeffs(M, (ZP,), rng.integers(0, ZP, totient(M)), bk)
+    ctx = KeysHints(3.0, seed=0, bk=bk)
+    compiled = pt2ct(addMul, res_ty=PT, m_map=M_MAP, zqs=ZQS, gad=TrivGad(), ctx=ctx)
+    a1 = compiled.encrypt_arg(pt1, 0)
+    a2 = compiled.encrypt_arg(pt2, 1)
+
+    eager = eval_ir(compiled.ir, a1, a2)
+    jfn = jit_compile(compiled, [a1, a2])
+    fast = jfn(a1, a2)
+
+    # bit-identical components
+    for ce, cf in zip(eager.comps, fast.comps):
+        assert np.array_equal(np.asarray(ce.to_pow().data), np.asarray(cf.to_pow().data))
+    # and the decryption matches the plaintext evaluation
+    want = eval_ir(addMul, pt1, pt2)
+    assert compiled.decrypt(fast).equals(want)
+
+
+def test_jit_tunnel_whole_program():
+    from alchemy_tpu.examples.common import H0, M_MAP, switch
+    from alchemy_tpu.examples.tunnel import PT, ZP, ZQS
+
+    rng = np.random.default_rng(1)
+    bk = XB
+    expr = switch(3, ZP, "xla")
+    x = Cyc.from_coeffs(H0, (ZP,), rng.integers(0, ZP, totient(H0)), bk)
+    ctx = KeysHints(3.0, seed=1, bk=bk)
+    from alchemy_tpu.she.gadget import BaseBGad
+
+    compiled = pt2ct(expr, res_ty=PT, m_map=M_MAP, zqs=ZQS, gad=BaseBGad(2), ctx=ctx)
+    ct = compiled.encrypt_arg(x, 0)
+
+    eager = eval_ir(compiled.ir, ct)
+    jfn = jit_compile(compiled, [ct])
+    fast = jfn(ct)
+    for ce, cf in zip(eager.comps, fast.comps):
+        assert np.array_equal(np.asarray(ce.to_pow().data), np.asarray(cf.to_pow().data))
+    want = eval_ir(expr, x)
+    assert compiled.decrypt(fast).equals(want)
