@@ -1,0 +1,219 @@
+"""Pallas TPU kernel: the fused 4-step negacyclic NTT.
+
+One kernel invocation per RNS limb (grid = (L,)); the entire transform —
+ψ pre-twist, digit-plane split, DFT-over-rows matmul (MXU), twiddle,
+DFT-over-columns matmul (MXU), modular recombination — runs VMEM-resident,
+so HBM sees only the input/output rows and the per-limb constant tables.
+Same tables and slot order as backend/ntt_mxu.py (natural-order (k1, k2)
+grid), so outputs are bit-identical to the jnp MXU path.
+
+Matmuls avoid runtime transposes: the row DFT is W1 @ x ([n1,n1]×[n1,n2]),
+the column DFT is y @ W2ᵀ ([n1,n2]×[n2,n2] with W2ᵀ precomputed).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from alchemy_tpu.backend.ntt_mxu import mxu_tables
+
+U32 = jnp.uint32
+_M16 = np.uint32(0xFFFF)
+_M8 = np.uint32(0xFF)
+
+
+def _mulhi(a, b):
+    a0, a1 = a & _M16, a >> np.uint32(16)
+    b0, b1 = b & _M16, b >> np.uint32(16)
+    p01 = a0 * b1
+    mid = p01 + a1 * b0
+    carry_mid = (mid < p01).astype(U32)
+    lo = a0 * b0 + (mid << np.uint32(16))
+    carry_lo = (lo < a0 * b0).astype(U32)
+    return a1 * b1 + (mid >> np.uint32(16)) + (carry_mid << np.uint32(16)) + carry_lo
+
+
+def _shoup(a, w, ws, q):
+    hi = _mulhi(a, ws)
+    r = a * w - hi * q
+    return jnp.where(r >= q, r - q, r)
+
+
+def _reduce_u32(v, q, r16, r16s):
+    ll, lh = v & _M16, v >> np.uint32(16)
+    t = _shoup(lh, r16, r16s, q) + ll
+    return jnp.where(t >= q, t - q, t)
+
+
+def _planes(x):
+    # Mosaic has no u32→float cast; digits are < 256 so bitcast to i32 first
+    out = []
+    for d in range(4):
+        v = (x >> np.uint32(8 * d)) & _M8
+        vi = jax.lax.bitcast_convert_type(v, jnp.int32)
+        out.append(vi.astype(jnp.float32).astype(jnp.bfloat16))
+    return out
+
+
+def _mod_matmul(planes_x, W_planes, q, r16, r16s, pow8, pow8_s, left: bool):
+    """Σ_b W[a,b]·x[b,·] (left=True: W @ x) or Σ_b x[·,b]·Wt[b,a]
+    (left=False: x @ Wt), with digit-plane exact bf16 matmuls."""
+    sums = [None] * 7
+    for d in range(4):
+        xd = planes_x[d]
+        for e in range(4):
+            We = W_planes[e]
+            if left:
+                prod = jnp.dot(We, xd, preferred_element_type=jnp.float32)
+            else:
+                prod = jnp.dot(xd, We, preferred_element_type=jnp.float32)
+            # f32 → i32 (exact, < 2^24) → bitcast u32
+            prod = jax.lax.bitcast_convert_type(prod.astype(jnp.int32), U32)
+            i = d + e
+            sums[i] = prod if sums[i] is None else sums[i] + prod
+    out = None
+    for i in range(7):
+        red = _reduce_u32(sums[i], q, r16, r16s)
+        term = _shoup(red, pow8[i], pow8_s[i], q)
+        out = term if out is None else jnp.where(out + term >= q, out + term - q, out + term)
+    return out
+
+
+def _fwd_kernel(scalars_ref, x_ref, pre_ref, pre_s_ref, w1_ref, tw_ref, tw_s_ref,
+                w2t_ref, out_ref):
+    # scalars: [L, 17] in SMEM: q, r16, r16s, pow8[0..6], pow8_s[0..6]
+    l = pl.program_id(0)
+    q = scalars_ref[l, 0]
+    r16 = scalars_ref[l, 1]
+    r16s = scalars_ref[l, 2]
+    pow8 = [scalars_ref[l, 3 + i] for i in range(7)]
+    pow8_s = [scalars_ref[l, 10 + i] for i in range(7)]
+    x = x_ref[0]                       # [n1, n2] u32
+    x = _shoup(x, pre_ref[0], pre_s_ref[0], q)
+    y = _mod_matmul(_planes(x), [w1_ref[0, e] for e in range(4)],
+                    q, r16, r16s, pow8, pow8_s, left=True)
+    y = _shoup(y, tw_ref[0], tw_s_ref[0], q)
+    z = _mod_matmul(_planes(y), [w2t_ref[0, e] for e in range(4)],
+                    q, r16, r16s, pow8, pow8_s, left=False)
+    out_ref[0] = z
+
+
+def _inv_kernel(scalars_ref, x_ref, w2it_ref, itw_ref, itw_s_ref, w1i_ref,
+                post_ref, post_s_ref, out_ref):
+    l = pl.program_id(0)
+    q = scalars_ref[l, 0]
+    r16 = scalars_ref[l, 1]
+    r16s = scalars_ref[l, 2]
+    pow8 = [scalars_ref[l, 3 + i] for i in range(7)]
+    pow8_s = [scalars_ref[l, 10 + i] for i in range(7)]
+    x = x_ref[0]                       # [n1, n2] in (k1, k2) grid order
+    z = _mod_matmul(_planes(x), [w2it_ref[0, e] for e in range(4)],
+                    q, r16, r16s, pow8, pow8_s, left=False)
+    z = _shoup(z, itw_ref[0], itw_s_ref[0], q)
+    y = _mod_matmul(_planes(z), [w1i_ref[0, e] for e in range(4)],
+                    q, r16, r16s, pow8, pow8_s, left=True)
+    y = _shoup(y, post_ref[0], post_s_ref[0], q)
+    out_ref[0] = y
+
+
+@lru_cache(maxsize=None)
+def _pallas_tables(n: int, qs: tuple[int, ...]):
+    t = mxu_tables(n, qs)
+    n1, n2 = t["n1"], t["n2"]
+    L = len(qs)
+    scal = np.zeros((L, 17), dtype=np.uint32)
+    scal[:, 0] = t["q"][:, 0, 0]
+    scal[:, 1] = t["r16"][:, 0, 0]
+    scal[:, 2] = t["r16s"][:, 0, 0]
+    for i in range(7):
+        scal[:, 3 + i] = t["pow8"][i]
+        scal[:, 10 + i] = t["pow8_s"][i]
+
+    import ml_dtypes
+
+    def grid(arr, shape):
+        return np.ascontiguousarray(arr.reshape(shape))
+
+    def bf16(planes):  # [L, 4, a, b] f32 host → host bf16 numpy
+        return np.ascontiguousarray(planes.astype(ml_dtypes.bfloat16))
+
+    # host numpy only: cached tables must not capture jit-trace constants
+    return {
+        "n1": n1, "n2": n2,
+        "scal": scal,
+        "pre": grid(t["pre"][0], (L, n1, n2)),
+        "pre_s": grid(t["pre"][1], (L, n1, n2)),
+        "post": grid(t["post"][0], (L, n1, n2)),
+        "post_s": grid(t["post"][1], (L, n1, n2)),
+        "tw": t["tw"][0],
+        "tw_s": t["tw"][1],
+        "itw": t["itw"][0],
+        "itw_s": t["itw"][1],
+        "w1": bf16(t["W1"]),
+        "w1i": bf16(t["W1i"]),
+        "w2t": bf16(np.swapaxes(t["W2"], -1, -2).copy()),
+        "w2it": bf16(np.swapaxes(t["W2i"], -1, -2).copy()),
+    }
+
+
+def _limb_spec(shape):
+    return pl.BlockSpec((1, *shape), lambda l: (l, *([0] * len(shape))),
+                        memory_space=pltpu.VMEM)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def ntt_pallas(x, n: int, qs: tuple[int, ...]):
+    """Forward negacyclic NTT, [L, n] u32 → [L, n]; bit-identical to
+    backend/ntt_mxu.ntt_mxu."""
+    t = _pallas_tables(n, qs)
+    n1, n2 = t["n1"], t["n2"]
+    L = len(qs)
+    xg = x.reshape(L, n1, n2)
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((L, 17), lambda l: (0, 0), memory_space=pltpu.SMEM),
+            _limb_spec((n1, n2)),
+            _limb_spec((n1, n2)),
+            _limb_spec((n1, n2)),
+            _limb_spec((4, n1, n1)),
+            _limb_spec((n1, n2)),
+            _limb_spec((n1, n2)),
+            _limb_spec((4, n2, n2)),
+        ],
+        out_specs=_limb_spec((n1, n2)),
+        out_shape=jax.ShapeDtypeStruct((L, n1, n2), jnp.uint32),
+    )(t["scal"], xg, t["pre"], t["pre_s"], t["w1"], t["tw"], t["tw_s"], t["w2t"])
+    return out.reshape(L, n)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def intt_pallas(x, n: int, qs: tuple[int, ...]):
+    t = _pallas_tables(n, qs)
+    n1, n2 = t["n1"], t["n2"]
+    L = len(qs)
+    xg = x.reshape(L, n1, n2)
+    out = pl.pallas_call(
+        _inv_kernel,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((L, 17), lambda l: (0, 0), memory_space=pltpu.SMEM),
+            _limb_spec((n1, n2)),
+            _limb_spec((4, n2, n2)),
+            _limb_spec((n1, n2)),
+            _limb_spec((n1, n2)),
+            _limb_spec((4, n1, n1)),
+            _limb_spec((n1, n2)),
+            _limb_spec((n1, n2)),
+        ],
+        out_specs=_limb_spec((n1, n2)),
+        out_shape=jax.ShapeDtypeStruct((L, n1, n2), jnp.uint32),
+    )(t["scal"], xg, t["w2it"], t["itw"], t["itw_s"], t["w1i"], t["post"], t["post_s"])
+    return out.reshape(L, n)

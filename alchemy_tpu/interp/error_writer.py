@@ -28,10 +28,22 @@ def _zq_str(qs) -> str:
     return "Zq[" + ",".join(str(q) for q in qs) + "]"
 
 
+#: error rate above which decryption failure is imminent (reference
+#: observation, SURVEY.md §4 item 4: rates approaching ~0.25-0.5 fail)
+NOISE_OVERFLOW_THRESHOLD = 0.25
+
+
+class NoiseOverflowError(RuntimeError):
+    """Raised in strict mode when a ciphertext's error rate crosses the
+    decryption-failure threshold (the runtime analog of the reference's
+    compile-time modulus-exhaustion TypeError)."""
+
+
 class _Probe:
-    def __init__(self, ctx: KeysHints, log: list):
+    def __init__(self, ctx: KeysHints, log: list, strict: bool = False):
         self.ctx = ctx
         self.log = log
+        self.strict = strict
 
     def wrap(self, name: str, v):
         if callable(v):
@@ -39,15 +51,23 @@ class _Probe:
         if isinstance(v, CT):
             sk = self.ctx.lookup_key(v.m_prime)
             if sk is not None:
-                self.log.append((f"{name}{_zq_str(v.qs)}", bgv.error_rate(sk, v)))
+                rate = bgv.error_rate(sk, v)
+                self.log.append((f"{name}{_zq_str(v.qs)}", rate))
+                if self.strict and rate > NOISE_OVERFLOW_THRESHOLD:
+                    raise NoiseOverflowError(
+                        f"{name} at {_zq_str(v.qs)}: error rate {rate:.3g} "
+                        f"exceeds {NOISE_OVERFLOW_THRESHOLD}"
+                    )
         return v
 
 
-def eval_with_error_rates(expr: Node, ctx: KeysHints, *args):
+def eval_with_error_rates(expr: Node, ctx: KeysHints, *args, strict: bool = False):
     """Evaluate a (compiled) expression, returning (result, error_rate_log).
-    The log is the reference's ErrorRateLog: [(op ++ modulus, rate)]."""
+    The log is the reference's ErrorRateLog: [(op ++ modulus, rate)].
+    strict=True raises NoiseOverflowError when a rate crosses the
+    decryption-failure threshold."""
     log: list[tuple[str, float]] = []
-    probe = _Probe(ctx, log)
+    probe = _Probe(ctx, log, strict)
 
     def ev(node: Node, env: tuple):
         if isinstance(node, Var):

@@ -69,6 +69,18 @@ def pt2ct(
     gad: Gadget,
     ctx: KeysHints,
 ) -> CompiledExpr:
+    # parameter validation (the reference's compile-time TypeErrors,
+    # Noise.hs:142-151 / config-as-types of SURVEY.md §5)
+    from alchemy_tpu.nt.primes import validate_moduli_for_ring
+
+    for m, m_prime in m_map.items():
+        if m_prime % m != 0:
+            raise ValueError(f"m'-map entry {m}→{m_prime}: {m} must divide {m_prime}")
+        validate_moduli_for_ring(m_prime, list(zqs.qs))
+    for q in zqs.qs:
+        if q <= (1 << 16):
+            raise ValueError(f"modulus {q} too small: backends require q > 2^16")
+
     ledger = NoiseLedger(zqs)
     inf = Inference(ledger)
     inf.run(expr, res_ty)
