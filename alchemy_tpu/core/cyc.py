@@ -148,6 +148,37 @@ class Cyc:
     def to_basis(self, basis: str) -> "Cyc":
         return self.to_pow() if basis == POW else self.to_crt()
 
+    @staticmethod
+    def batched_to_basis(cycs: list["Cyc"], basis: str) -> list["Cyc"]:
+        """Convert many same-ring elements in ONE per-axis transform pass
+        (the batch rides along as an extra untransformed axis) — used by
+        key-switch/tunnel digit fan-out to avoid per-digit transforms."""
+        if not cycs:
+            return []
+        first = cycs[0]
+        if all(c.basis == basis for c in cycs):
+            return list(cycs)
+        ring, qs, bk = first.ring, first.qs, first.bk
+        src_basis = cycs[0].basis
+        assert all(c.ring is ring and c.qs == qs and c.basis == src_basis for c in cycs)
+        if basis == CRT:
+            first._check_ntt()
+            mats = [[crt_factor_matrix(f.pe, q) for q in qs] for f in ring.factors]
+        else:
+            mats = [[icrt_factor_matrix(f.pe, q) for q in qs] for f in ring.factors]
+        B = len(cycs)
+        datas = [c.data for c in cycs]
+        if isinstance(datas[0], np.ndarray):
+            stacked = np.stack(datas, axis=1)
+        else:
+            import jax.numpy as jnp
+
+            stacked = jnp.stack(datas, axis=1)
+        flat = stacked.reshape(len(qs), -1)  # [L, B*n]
+        out = bk.axis_matmul(flat, [None] + mats, (B, *ring.shape), qs)
+        out = out.reshape(len(qs), B, -1)
+        return [Cyc(ring, qs, basis, out[:, j, :], bk) for j in range(B)]
+
     # -- arithmetic ---------------------------------------------------------
 
     def _align(self, other: "Cyc") -> tuple["Cyc", "Cyc"]:

@@ -260,14 +260,14 @@ def ks_quad_circ_hint(sk: SK, gadget: Gadget, qs: tuple[int, ...], zp: int,
 
 
 def key_switch_quad(hint: KSQuadCircHint, ct: CT) -> CT:
-    """Re-linearize a quadratic ciphertext (SymmSHE keySwitchQuadCirc)."""
+    """Re-linearize a quadratic ciphertext (SymmSHE keySwitchQuadCirc).
+    All gadget digits go through ONE batched CRT transform."""
     assert ct.degree == 2
     assert ct.qs == hint.qs, (ct.qs, hint.qs)
     c0, c1, c2 = ct.comps
-    digits = hint.gadget.digits(c2)
+    digits = Cyc.batched_to_basis(hint.gadget.digits(c2), "CRT")
     acc0, acc1 = c0.to_crt(), c1.to_crt()
-    for d, (b, a) in zip(digits, hint.rows):
-        dc = d.to_crt()
+    for dc, (b, a) in zip(digits, hint.rows):
         acc0 = acc0 + dc * b
         acc1 = acc1 + dc * a
     return ct.with_comps((acc0, acc1))

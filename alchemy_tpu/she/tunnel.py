@@ -130,10 +130,17 @@ def tunnel(hint: TunnelHint, ct: CT) -> CT:
     out0 = _f_prime_apply(c0.to_crt(), hint.e_p, hint.s_p, hint.images_sp)
     out1 = None
     c1_coeffs = c1.rel_coeffs(hint.e_p)
+    # collect every digit of every coefficient, embed, and convert to the
+    # CRT basis in ONE batched transform pass
+    all_digits = []
+    rows_flat = []
     for j, zj in enumerate(c1_coeffs):
         digits = hint.gadget.digits(zj)
-        for d, (b, a) in zip(digits, hint.rows[j]):
-            dd = d.embed(hint.s_p).to_crt()
-            out0 = out0 + dd * b
-            out1 = dd * a if out1 is None else out1 + dd * a
+        for d, row in zip(digits, hint.rows[j]):
+            all_digits.append(d.embed(hint.s_p))
+            rows_flat.append(row)
+    all_digits = Cyc.batched_to_basis(all_digits, "CRT")
+    for dd, (b, a) in zip(all_digits, rows_flat):
+        out0 = out0 + dd * b
+        out1 = dd * a if out1 is None else out1 + dd * a
     return CT(m=hint.f.s, zp=ct.zp, scale=ct.scale, comps=(out0, out1))
