@@ -107,6 +107,20 @@ def mulmod(a, b, qs: tuple[int, ...]):
     return _mulmod_arrays(a, b, c["q"], c["r2"], c["r2s"], c["r16"], c["r16s"])
 
 
+@lru_cache(maxsize=None)
+def _pow8_consts(qs: tuple[int, ...]):
+    """2^(8t) mod q per limb, [L,1,1] with Shoup companions (host numpy)."""
+    L = len(qs)
+    pw = np.zeros((7, L, 1, 1), dtype=np.uint32)
+    pws = np.zeros((7, L, 1, 1), dtype=np.uint32)
+    for t in range(7):
+        for li, q in enumerate(qs):
+            v = pow(2, 8 * t, q)
+            pw[t, li, 0, 0] = v
+            pws[t, li, 0, 0] = (v << 32) // q
+    return [pw[t] for t in range(7)], [pws[t] for t in range(7)]
+
+
 @jax.jit
 def _add_mod(a, b, q):
     return _cond_sub(a + b, q)
@@ -129,9 +143,39 @@ def _mulmod_shoup_jit(a, w, ws, q):
 
 @jax.jit
 def _axis_apply(xm, W, WS, q4):
-    """One per-axis transform step: xm [L, d_in, R] × W [L, d_out, d_in]."""
+    """One per-axis transform step: xm [L, d_in, R] × W [L, d_out, d_in].
+    VPU path: Shoup products materialized then mod-tree-summed."""
     prod = mulmod_shoup(xm[:, None, :, :], W[:, :, :, None], WS[:, :, :, None], q4)
     return _modsum(prod, axis=2, q=q4)  # [L, d_out, R]
+
+
+@jax.jit
+def _axis_apply_mxu(xm, Wp, q, r16, r16s, pow8, pow8s):
+    """MXU path: digit-plane bf16 einsums (exact for d_in ≤ 256; see
+    backend/ntt_mxu.py) — contracts on the systolic array without
+    materializing the [d_out, d_in, R] product tensor.
+
+    xm [L, d_in, R] u32; Wp [L, 4, d_out, d_in] bf16 planes; consts [L,1,1]."""
+    xp = [
+        ((xm >> np.uint32(8 * d)) & np.uint32(0xFF)).astype(jnp.bfloat16)
+        for d in range(4)
+    ]
+    sums = [None] * 7
+    for d in range(4):
+        for e in range(4):
+            prod = jnp.einsum(
+                "lkr,lak->lar", xp[d], Wp[:, e],
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.uint32)
+            i = d + e
+            sums[i] = prod if sums[i] is None else sums[i] + prod
+    out = None
+    for i in range(7):
+        ll, lh = _split(sums[i])
+        red = _cond_sub(mulmod_shoup(lh, r16, r16s, q) + ll, q)
+        term = mulmod_shoup(red, pow8[i], pow8s[i], q)
+        out = term if out is None else _cond_sub(out + term, q)
+    return out
 
 
 class XlaBackend:
@@ -186,7 +230,7 @@ class XlaBackend:
 
     def _mats_device(self, mat, per_limb: bool, qs: tuple[int, ...]):
         """Stack per-limb matrices to [L, d_out, d_in] u32 with Shoup
-        companions, cached by content."""
+        companions and bf16 digit planes, cached by content."""
         mats = list(mat) if per_limb else [mat] * len(qs)
         key = (qs, tuple(m.tobytes() for m in mats), mats[0].shape)
         hit = self._mat_cache.get(key)
@@ -198,25 +242,43 @@ class XlaBackend:
             ws.append(mm.astype(np.uint32))
             ss = (mm.astype(object) << 32) // q
             wss.append(np.array(ss, dtype=np.uint32))
-        out = (jnp.asarray(np.stack(ws)), jnp.asarray(np.stack(wss)))
+        W = np.stack(ws)
+        planes = np.stack(
+            [(W >> (8 * d)) & 0xFF for d in range(4)], axis=1
+        ).astype(np.float32)  # [L, 4, d_out, d_in]
+        out = (jnp.asarray(W), jnp.asarray(np.stack(wss)),
+               jnp.asarray(planes).astype(jnp.bfloat16))
         self._mat_cache[key] = out
         return out
 
+    @staticmethod
+    def _use_mxu() -> bool:
+        return jax.default_backend() != "cpu"
+
     def axis_matmul(self, a, mats, shape, qs):
         L = a.shape[0]
-        q4 = _qconsts(qs)["q"].reshape(L, 1, 1, 1)
+        c = _qconsts(qs)
+        q4 = c["q"].reshape(L, 1, 1, 1)
+        q3 = c["q"].reshape(L, 1, 1)
+        r16_3 = c["r16"].reshape(L, 1, 1)
+        r16s_3 = c["r16s"].reshape(L, 1, 1)
+        pow8, pow8s = _pow8_consts(qs)
+        mxu = self._use_mxu()
         cur_shape = list(shape)
         x = a.reshape(L, *cur_shape)
         for ax, mat in enumerate(mats):
             if mat is None:
                 continue
             per_limb = isinstance(mat, (list, tuple))
-            W, WS = self._mats_device(mat, per_limb, qs)
+            W, WS, Wp = self._mats_device(mat, per_limb, qs)
             d_out, d_in = W.shape[1], W.shape[2]
             xm = jnp.moveaxis(x, 1 + ax, 1)  # [L, d_in, *rest]
             rest_shape = xm.shape[2:]
             xm = xm.reshape(L, d_in, -1)
-            res = _axis_apply(xm, W, WS, q4)  # [L, d_out, R]
+            if mxu and d_in <= 256:
+                res = _axis_apply_mxu(xm, Wp, q3, r16_3, r16s_3, pow8, pow8s)
+            else:
+                res = _axis_apply(xm, W, WS, q4)  # [L, d_out, R]
             res = res.reshape(L, d_out, *rest_shape)
             x = jnp.moveaxis(res, 1, 1 + ax)
             cur_shape[ax] = d_out

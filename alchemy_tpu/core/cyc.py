@@ -149,6 +149,33 @@ class Cyc:
         return self.to_pow() if basis == POW else self.to_crt()
 
     @staticmethod
+    def batched_embed_crt(cycs: list["Cyc"], m_target: int) -> list["Cyc"]:
+        """Embed many same-ring POW elements into R_{m_target} AND convert to
+        the CRT basis in one fused per-axis matmul pass (per-axis matrices
+        CRT∘embed precomputed mod each limb). The workhorse of tunnel digit
+        fan-out."""
+        if not cycs:
+            return []
+        first = cycs[0]
+        src_ring, qs, bk = first.ring, first.qs, first.bk
+        tgt = get_ring(m_target)
+        tgt.check_subring(src_ring)
+        assert all(c.ring is src_ring and c.qs == qs and c.basis == POW for c in cycs)
+        mats, src_shape = _fused_embed_crt_mats(src_ring.m, m_target, qs)
+        B = len(cycs)
+        datas = [c.data for c in cycs]
+        if isinstance(datas[0], np.ndarray):
+            stacked = np.stack(datas, axis=1)
+        else:
+            import jax.numpy as jnp
+
+            stacked = jnp.stack(datas, axis=1)
+        flat = stacked.reshape(len(qs), -1)
+        out = bk.axis_matmul(flat, [None] + mats, (B, *src_shape), qs)
+        out = out.reshape(len(qs), B, -1)
+        return [Cyc(tgt, qs, CRT, out[:, j, :], bk) for j in range(B)]
+
+    @staticmethod
     def batched_to_basis(cycs: list["Cyc"], basis: str) -> list["Cyc"]:
         """Convert many same-ring elements in ONE per-axis transform pass
         (the batch rides along as an extra untransformed axis) — used by
@@ -344,6 +371,27 @@ class Cyc:
             and self.qs == other.qs
             and bool(np.array_equal(a.bk.to_numpy(a.data), b.bk.to_numpy(b.data)))
         )
+
+
+@lru_cache(maxsize=None)
+def _fused_embed_crt_mats(m_src: int, m_tgt: int, qs: tuple[int, ...]):
+    """Per-target-axis per-limb matrices (CRT_axis mod q) @ (POW-embed_axis),
+    plus the aligned source shape for the reshape."""
+    src = get_ring(m_src)
+    tgt = get_ring(m_tgt)
+    mats = []
+    src_shape = []
+    for f in tgt.factors:
+        b = src.factor_exponent(f.p)
+        src_len = 1 if b == 0 else [g.phi for g in src.factors if g.p == f.p][0]
+        src_shape.append(src_len)
+        E = _embed_axis_matrix(f.p, f.e, b, POW)
+        per_limb = []
+        for q in qs:
+            C = crt_factor_matrix(f.pe, q)
+            per_limb.append((C.astype(object) @ E.astype(object) % q).astype(np.int64))
+        mats.append(per_limb)
+    return mats, tuple(src_shape)
 
 
 @lru_cache(maxsize=None)

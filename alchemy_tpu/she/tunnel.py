@@ -75,11 +75,13 @@ def _lift_images(f: LinearMap, s_p: int, qs, bk) -> list[Cyc]:
 
 
 def _f_prime_apply(z: Cyc, e_p: int, s_p: int, images_sp: list[Cyc]) -> Cyc:
-    """f'(z) = Σ_j embed_{e'→s'}(z_j)·ỹ_j for z ∈ R_{r'}."""
-    coeffs = z.rel_coeffs(e_p)
+    """f'(z) = Σ_j embed_{e'→s'}(z_j)·ỹ_j for z ∈ R_{r'} (coefficients go
+    through one fused embed+CRT batch)."""
+    coeffs = [c.to_pow() for c in z.rel_coeffs(e_p)]
+    embedded = Cyc.batched_embed_crt(coeffs, s_p)
     acc = None
-    for zj, yj in zip(coeffs, images_sp):
-        term = zj.embed(s_p).to_crt() * yj
+    for zj, yj in zip(embedded, images_sp):
+        term = zj * yj
         acc = term if acc is None else acc + term
     return acc
 
@@ -130,16 +132,15 @@ def tunnel(hint: TunnelHint, ct: CT) -> CT:
     out0 = _f_prime_apply(c0.to_crt(), hint.e_p, hint.s_p, hint.images_sp)
     out1 = None
     c1_coeffs = c1.rel_coeffs(hint.e_p)
-    # collect every digit of every coefficient, embed, and convert to the
-    # CRT basis in ONE batched transform pass
+    # every digit of every coefficient goes through ONE fused embed+CRT pass
     all_digits = []
     rows_flat = []
     for j, zj in enumerate(c1_coeffs):
         digits = hint.gadget.digits(zj)
         for d, row in zip(digits, hint.rows[j]):
-            all_digits.append(d.embed(hint.s_p))
+            all_digits.append(d)
             rows_flat.append(row)
-    all_digits = Cyc.batched_to_basis(all_digits, "CRT")
+    all_digits = Cyc.batched_embed_crt(all_digits, hint.s_p)
     for dd, (b, a) in zip(all_digits, rows_flat):
         out0 = out0 + dd * b
         out1 = dd * a if out1 is None else out1 + dd * a
