@@ -1,0 +1,53 @@
+"""Noise-ledger validation (SURVEY.md §4 test plan (b)): the pNoise the
+compiler assigns must upper-bound the measured error rates — a ciphertext at
+pNoise p should have error rate ≲ 2^(−6.1·p) (the 6.1-bit unit semantics,
+Noise.hs:153-155), and every example must finish far from the decryption
+failure threshold."""
+
+import math
+
+import numpy as np
+
+from alchemy_tpu.core.cyc import Cyc
+from alchemy_tpu.interp.error_writer import eval_with_error_rates
+from alchemy_tpu.interp.keys_hints import KeysHints
+from alchemy_tpu.interp.pt2ct import pt2ct
+from alchemy_tpu.interp.noise import PNOISE_UNIT
+from alchemy_tpu.nt.factor import totient
+from alchemy_tpu.she.gadget import TrivGad
+
+
+def test_arithmetic_rates_respect_ledger():
+    from alchemy_tpu.examples.arithmetic import M, M_MAP, PT, ZP, ZQS, addMul
+
+    rng = np.random.default_rng(7)
+    ctx = KeysHints(3.0, seed=7)
+    compiled = pt2ct(addMul, res_ty=PT, m_map=M_MAP, zqs=ZQS, gad=TrivGad(), ctx=ctx)
+    a1 = compiled.encrypt_arg(
+        Cyc.from_coeffs(M, (ZP,), rng.integers(0, ZP, totient(M)), ctx.bk), 0)
+    a2 = compiled.encrypt_arg(
+        Cyc.from_coeffs(M, (ZP,), rng.integers(0, ZP, totient(M)), ctx.bk), 1)
+    result, log = eval_with_error_rates(compiled.ir, ctx, a1, a2, strict=True)
+    # the final ciphertext is at pNoise 0 → rate must beat the zero-pNoise
+    # budget (MinUnits = 12 bits of headroom)
+    final_rate = log[-1][1]
+    assert final_rate < 2 ** (-PNOISE_UNIT * 0 - 6), final_rate
+    # inputs are at pNoise 5 → fresh encryptions must respect ~2^-30.5
+    fresh = log[0][1]
+    assert fresh < 2 ** (-PNOISE_UNIT * 5), fresh
+
+
+def test_tunnel_rates_respect_ledger():
+    from alchemy_tpu.examples.common import H0, M_MAP, switch
+    from alchemy_tpu.examples.tunnel import PT, ZP, ZQS
+    from alchemy_tpu.she.gadget import BaseBGad
+
+    rng = np.random.default_rng(8)
+    ctx = KeysHints(3.0, seed=8)
+    expr = switch(3, ZP)
+    compiled = pt2ct(expr, res_ty=PT, m_map=M_MAP, zqs=ZQS, gad=BaseBGad(2), ctx=ctx)
+    x = Cyc.from_coeffs(H0, (ZP,), rng.integers(0, ZP, totient(H0)), ctx.bk)
+    ct = compiled.encrypt_arg(x, 0)
+    # strict mode: no op may cross the decryption-failure threshold
+    result, log = eval_with_error_rates(compiled.ir, ctx, ct, strict=True)
+    assert all(rate < 0.01 for _, rate in log), log
