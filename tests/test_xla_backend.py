@@ -90,3 +90,10 @@ def test_arithmetic_example_on_xla_backend():
     from alchemy_tpu.examples.arithmetic import run
 
     assert run(seed=3, backend="xla", verbose=False)
+
+
+def test_homomrlwr_example_on_xla_backend():
+    # the deep workload end-to-end on the XLA backend
+    from alchemy_tpu.examples.homomrlwr import run
+
+    assert run(seed=5, backend="xla", verbose=False)
