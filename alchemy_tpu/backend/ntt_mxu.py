@@ -77,20 +77,28 @@ def mxu_tables(n: int, qs: tuple[int, ...]):
         w1i = pow(w1, -1, q)
         w2i = pow(w2, -1, q)
         n_inv = pow(n, -1, q)
+        n_inv_full = pow(n, -1, q)
+        psi_inv_ = pow(psi, -1, q)
         for a in range(n1):
             for b in range(n1):
-                W1[li, a, b] = pow(w1, a * b, q)
-                W1i[li, a, b] = pow(w1i, a * b, q)
+                # forward W1 folds the psi^(j1*n2) part of the pre-twist
+                W1[li, a, b] = pow(w1, a * b, q) * pow(psi, b * n2, q) % q
+                # inverse W1i folds psi^(-j1*n2) (output rows) and 1/n
+                W1i[li, a, b] = (
+                    pow(w1i, a * b, q) * pow(psi_inv_, a * n2, q) * n_inv_full % q
+                )
         for a in range(n2):
             for b in range(n2):
                 W2[li, a, b] = pow(w2, a * b, q)
                 W2i[li, a, b] = pow(w2i, a * b, q)
         for k1 in range(n1):
             for j2 in range(n2):
-                v = pow(w, k1 * j2, q)
+                # forward twiddle folds the psi^(j2) part of the pre-twist
+                v = pow(w, k1 * j2, q) * pow(psi, j2, q) % q
                 tw[li, k1, j2] = v
                 tw_s[li, k1, j2] = (v << 32) // q
-                u = pow(v, -1, q)
+                # inverse twiddle folds psi^(-j2)
+                u = pow(pow(w, k1 * j2, q), -1, q) * pow(psi_inv_, j2, q) % q
                 itw[li, k1, j2] = u
                 itw_s[li, k1, j2] = (u << 32) // q
         psi_inv = pow(psi, -1, q)
@@ -177,12 +185,9 @@ def _matmul_mod(x, Wp, t):
 @partial(jax.jit, static_argnums=(1, 2))
 def ntt_mxu(x, n: int, qs: tuple[int, ...]):
     """Forward negacyclic NTT via MXU matmuls; x [..., L, n] natural order in,
-    (k1, k2) grid order out."""
+    (k1, k2) grid order out. The psi pre-twist is folded into W1/tw."""
     t = mxu_tables(n, qs)
     n1, n2 = t["n1"], t["n2"]
-    pre, pre_s = t["pre"]
-    q2 = t["q"][:, :, 0]
-    x = mulmod_shoup(x, pre, pre_s, q2)
     lead = x.shape[:-2]
     L = x.shape[-2]
     x = x.reshape(*lead, L, n1, n2)
@@ -208,8 +213,5 @@ def intt_mxu(x, n: int, qs: tuple[int, ...]):
     itwv, itws = t["itw"]
     z = mulmod_shoup(z, itwv, itws, t["q"])
     z = jnp.swapaxes(z, -1, -2)                    # [..., L, j2, k1]
-    y = _matmul_mod(z, t["W1i"], t)          # inverse over k1 → j1
-    y = jnp.swapaxes(y, -1, -2).reshape(*lead, L, n)
-    post, post_s = t["post"]
-    q2 = t["q"][:, :, 0]
-    return mulmod_shoup(y, post, post_s, q2)
+    y = _matmul_mod(z, t["W1i"], t)          # inverse over k1 → j1 (1/n and
+    return jnp.swapaxes(y, -1, -2).reshape(*lead, L, n)  # psi^-j folded in)

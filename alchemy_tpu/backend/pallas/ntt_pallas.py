@@ -85,9 +85,10 @@ def _mod_matmul(planes_x, W_planes, q, r16, r16s, pow8, pow8_s, left: bool):
     return out
 
 
-def _fwd_kernel(scalars_ref, x_ref, pre_ref, pre_s_ref, w1_ref, tw_ref, tw_s_ref,
+def _fwd_kernel(scalars_ref, x_ref, w1_ref, tw_ref, tw_s_ref,
                 w2t_ref, out_ref):
     # scalars: [L, 17] in SMEM: q, r16, r16s, pow8[0..6], pow8_s[0..6]
+    # (psi twists are folded into W1/tw — see backend/ntt_mxu.py tables)
     l = pl.program_id(0)
     q = scalars_ref[l, 0]
     r16 = scalars_ref[l, 1]
@@ -95,7 +96,6 @@ def _fwd_kernel(scalars_ref, x_ref, pre_ref, pre_s_ref, w1_ref, tw_ref, tw_s_ref
     pow8 = [scalars_ref[l, 3 + i] for i in range(7)]
     pow8_s = [scalars_ref[l, 10 + i] for i in range(7)]
     x = x_ref[0]                       # [n1, n2] u32
-    x = _shoup(x, pre_ref[0], pre_s_ref[0], q)
     y = _mod_matmul(_planes(x), [w1_ref[0, e] for e in range(4)],
                     q, r16, r16s, pow8, pow8_s, left=True)
     y = _shoup(y, tw_ref[0], tw_s_ref[0], q)
@@ -105,7 +105,7 @@ def _fwd_kernel(scalars_ref, x_ref, pre_ref, pre_s_ref, w1_ref, tw_ref, tw_s_ref
 
 
 def _inv_kernel(scalars_ref, x_ref, w2it_ref, itw_ref, itw_s_ref, w1i_ref,
-                post_ref, post_s_ref, out_ref):
+                out_ref):
     l = pl.program_id(0)
     q = scalars_ref[l, 0]
     r16 = scalars_ref[l, 1]
@@ -118,7 +118,6 @@ def _inv_kernel(scalars_ref, x_ref, w2it_ref, itw_ref, itw_s_ref, w1i_ref,
     z = _shoup(z, itw_ref[0], itw_s_ref[0], q)
     y = _mod_matmul(_planes(z), [w1i_ref[0, e] for e in range(4)],
                     q, r16, r16s, pow8, pow8_s, left=True)
-    y = _shoup(y, post_ref[0], post_s_ref[0], q)
     out_ref[0] = y
 
 
@@ -147,10 +146,6 @@ def _pallas_tables(n: int, qs: tuple[int, ...]):
     return {
         "n1": n1, "n2": n2,
         "scal": scal,
-        "pre": grid(t["pre"][0], (L, n1, n2)),
-        "pre_s": grid(t["pre"][1], (L, n1, n2)),
-        "post": grid(t["post"][0], (L, n1, n2)),
-        "post_s": grid(t["post"][1], (L, n1, n2)),
         "tw": t["tw"][0],
         "tw_s": t["tw"][1],
         "itw": t["itw"][0],
@@ -181,8 +176,6 @@ def ntt_pallas(x, n: int, qs: tuple[int, ...]):
         in_specs=[
             pl.BlockSpec((L, 17), lambda l: (0, 0), memory_space=pltpu.SMEM),
             _limb_spec((n1, n2)),
-            _limb_spec((n1, n2)),
-            _limb_spec((n1, n2)),
             _limb_spec((4, n1, n1)),
             _limb_spec((n1, n2)),
             _limb_spec((n1, n2)),
@@ -190,7 +183,7 @@ def ntt_pallas(x, n: int, qs: tuple[int, ...]):
         ],
         out_specs=_limb_spec((n1, n2)),
         out_shape=jax.ShapeDtypeStruct((L, n1, n2), jnp.uint32),
-    )(t["scal"], xg, t["pre"], t["pre_s"], t["w1"], t["tw"], t["tw_s"], t["w2t"])
+    )(t["scal"], xg, t["w1"], t["tw"], t["tw_s"], t["w2t"])
     return out.reshape(L, n)
 
 
@@ -210,10 +203,8 @@ def intt_pallas(x, n: int, qs: tuple[int, ...]):
             _limb_spec((n1, n2)),
             _limb_spec((n1, n2)),
             _limb_spec((4, n1, n1)),
-            _limb_spec((n1, n2)),
-            _limb_spec((n1, n2)),
         ],
         out_specs=_limb_spec((n1, n2)),
         out_shape=jax.ShapeDtypeStruct((L, n1, n2), jnp.uint32),
-    )(t["scal"], xg, t["w2it"], t["itw"], t["itw_s"], t["w1i"], t["post"], t["post_s"])
+    )(t["scal"], xg, t["w2it"], t["itw"], t["itw_s"], t["w1i"])
     return out.reshape(L, n)
