@@ -196,3 +196,17 @@ def ask_() -> Node:
 
 def local_() -> Node:
     return Prim("local_", "reader")
+
+
+# target-language combinators (Lambda.hs:67-74)
+
+def const_() -> Node:
+    return lam(lambda x: lam(lambda _y: x))
+
+
+def flip_() -> Node:
+    return lam(lambda f: lam(lambda x: lam(lambda y: App(App(f, y), x))))
+
+
+def id_() -> Node:
+    return lam(lambda x: x)
