@@ -136,3 +136,33 @@ def test_deep_circuit_depth16():
 
     ok, depth = run(log_n=8, depth=16, verbose=False, impl="vpu")
     assert ok and depth == 16
+
+
+def test_mul_relin_batched_leading_dims():
+    import jax.numpy as jnp
+
+    p = FastParams.make(5, 2, zp=2, impl="vpu")
+    rng = np.random.default_rng(12)
+    s = fast.keygen(p, rng)
+    hb, ha = fast.relin_hint(p, s, rng, shoup=True)
+    m1 = rng.integers(0, 2, p.n)
+    m2 = rng.integers(0, 2, p.n)
+    ct1 = fast.encrypt(p, s, m1, rng)
+    ct2 = fast.encrypt(p, s, m2, rng)
+    single = fast.mul_relin(p, ct1, ct2, hb, ha)
+    batched = fast.mul_relin(
+        p,
+        jnp.broadcast_to(ct1[None], (3, *ct1.shape)),
+        jnp.broadcast_to(ct2[None], (3, *ct2.shape)),
+        hb, ha,
+    )
+    for b in range(3):
+        assert np.array_equal(np.asarray(batched[b]), np.asarray(single))
+
+
+def test_cost_table():
+    from alchemy_tpu.utils.profiling import cost_table
+    from alchemy_tpu.examples.arithmetic import addMul
+
+    table = dict(cost_table(addMul))
+    assert table["add_"] == 1 and table["mul_"] == 1
