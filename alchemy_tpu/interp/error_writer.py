@@ -9,8 +9,7 @@ from the KeysHints context (debug/observability mode — requires keys)."""
 
 from __future__ import annotations
 
-from alchemy_tpu.interp import eval as _eval_mod
-from alchemy_tpu.interp.eval import _eval, _prim_value  # reuse the evaluator core
+from alchemy_tpu.interp.eval import _prim_value  # reuse the evaluator core
 from alchemy_tpu.interp.keys_hints import KeysHints
 from alchemy_tpu.lang.ir import App, Lam, Node, Prim, Var
 from alchemy_tpu.she import bgv

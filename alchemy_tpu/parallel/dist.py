@@ -24,7 +24,7 @@ All per-limb constants (twiddles, q, Barrett consts, hints) enter as sharded
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

@@ -15,6 +15,7 @@ dataflow. Digits are single-limb residues reduced into every limb exactly
 
 from __future__ import annotations
 
+import os as _os
 from dataclasses import dataclass
 from functools import lru_cache, partial
 
@@ -22,9 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import os as _os
-
-from alchemy_tpu.backend.ntt import intt_negacyclic, ntt_negacyclic, ntt_tables
+from alchemy_tpu.backend.ntt import intt_negacyclic, ntt_negacyclic
 from alchemy_tpu.backend.ntt_mxu import intt_mxu, ntt_mxu
 
 #: default NTT implementation for the fused fast path: "mxu" (4-step bf16

@@ -41,10 +41,3 @@ class LinearMap:
             term = xj.embed(self.s) * yj
             acc = term if acc is None else acc + term
         return acc
-
-    def extend(self, factor: int) -> "LinearMap":
-        """The induced map f': R_{r·t} → R_{s·t} over R_{e·t} (t = r'/r),
-        sending the shared relative basis to embedded images (GHPS lemma;
-        used by tunnelHint, see she/tunnel.py). Images are extended lazily by
-        the caller since the target modulus differs."""
-        raise NotImplementedError("use tunnel_hint; images live mod p")
