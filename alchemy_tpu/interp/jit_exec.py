@@ -4,9 +4,12 @@ The reference dispatches each `Cyc` op across the Haskell↔C++ FFI boundary
 (SURVEY.md §3.1); the rebuild's eager mode similarly dispatches per op from
 Python. `jit_compile` removes that boundary entirely: it traces the compiled
 IR's evaluation — every modSwitch, keySwitchQuad, tunnel and ring transform —
-into ONE jitted XLA program over the raw ciphertext arrays. Ciphertext
-metadata (rings, chains, scales, bases) is static Python state resolved at
-trace time; hints/keys/plaintext payloads embed as constants.
+into ONE jitted XLA program over the raw ciphertext arrays.
+
+Ciphertext metadata (rings, chains, scales, bases) is static Python state
+resolved at trace time. Key-switch/tunnel hints and public plaintexts are
+*hoisted into traced arguments* (not baked as HLO constants — hundreds of
+megabytes of literal hint rows make XLA constant handling explode).
 
 Requires the XLA backend (golden is numpy). The error-rate-logging mode
 (interp/error_writer.py) stays eager: the probe needs host CRT lifts.
@@ -14,61 +17,134 @@ Requires the XLA backend (golden is numpy). The error-rate-logging mode
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 
 from alchemy_tpu.core.cyc import Cyc
 from alchemy_tpu.interp.eval import eval_ir
 from alchemy_tpu.interp.pt2ct import CompiledExpr
+from alchemy_tpu.lang.ir import App, Lam, Node, Prim, Var
 from alchemy_tpu.she.ct import CT
-
-
-class JitCompiled:
-    def __init__(self, compiled: CompiledExpr, example_cts: list[CT]):
-        self.compiled = compiled
-        # static metadata template per argument
-        self.arg_meta = [
-            (ct.m, ct.zp, ct.scale, [(c.m, c.qs, c.basis) for c in ct.comps])
-            for ct in example_cts
-        ]
-        self.bk = example_cts[0].bk
-        out_box = {}
-
-        def raw(flat):
-            cts = []
-            i = 0
-            for (m, zp, scale, comps_meta) in self.arg_meta:
-                comps = []
-                for (cm, qs, basis) in comps_meta:
-                    comps.append(Cyc(_ring(cm), qs, basis, flat[i], self.bk))
-                    i += 1
-                cts.append(CT(m=m, zp=zp, scale=scale, comps=tuple(comps)))
-            out = eval_ir(self.compiled.ir, *cts)
-            out_box["meta"] = (
-                out.m, out.zp, out.scale,
-                [(c.m, c.qs, c.basis) for c in out.comps],
-            )
-            return tuple(c.data for c in out.comps)
-
-        self._jitted = jax.jit(raw)
-        # trace eagerly once to capture output metadata
-        self._jitted.lower([c.data for ct in example_cts for c in ct.comps])
-        self.out_meta = out_box["meta"]
-
-    def __call__(self, *cts: CT) -> CT:
-        flat = [c.data for ct in cts for c in ct.comps]
-        arrays = self._jitted(flat)
-        (m, zp, scale, comps_meta) = self.out_meta
-        comps = tuple(
-            Cyc(_ring(cm), qs, basis, arr, self.bk)
-            for (cm, qs, basis), arr in zip(comps_meta, arrays)
-        )
-        return CT(m=m, zp=zp, scale=scale, comps=comps)
 
 
 def _ring(m: int):
     from alchemy_tpu.core.ring import get_ring
 
     return get_ring(m)
+
+
+def _cyc_meta(c: Cyc):
+    return (c.m, c.qs, c.basis)
+
+
+def _extract_payload(payload, sink: list):
+    """Pull every Cyc's array out of a prim payload into `sink`; return a
+    template and a rebuilder closure index map."""
+    if isinstance(payload, Cyc):
+        sink.append(payload.data)
+        return ("cyc", _cyc_meta(payload), len(sink) - 1)
+    if dataclasses.is_dataclass(payload) and not isinstance(payload, type):
+        fields = {}
+        for f in dataclasses.fields(payload):
+            fields[f.name] = _extract_payload(getattr(payload, f.name), sink)
+        return ("dc", type(payload), fields)
+    if isinstance(payload, tuple):
+        return ("tuple", tuple(_extract_payload(x, sink) for x in payload))
+    if isinstance(payload, list):
+        return ("list", [_extract_payload(x, sink) for x in payload])
+    return ("raw", payload)
+
+
+def _rebuild_payload(tmpl, arrays, bk):
+    kind = tmpl[0]
+    if kind == "cyc":
+        _, (m, qs, basis), idx = tmpl
+        return Cyc(_ring(m), qs, basis, arrays[idx], bk)
+    if kind == "dc":
+        _, cls, fields = tmpl
+        return cls(**{k: _rebuild_payload(v, arrays, bk) for k, v in fields.items()})
+    if kind == "tuple":
+        return tuple(_rebuild_payload(x, arrays, bk) for x in tmpl[1])
+    if kind == "list":
+        return [_rebuild_payload(x, arrays, bk) for x in tmpl[1]]
+    return tmpl[1]
+
+
+#: prims whose payloads carry large device data worth hoisting
+_HOISTED = {"keySwitchQuad_", "tunnel_", "addPublic_", "mulPublic_"}
+
+
+class JitCompiled:
+    def __init__(self, compiled: CompiledExpr, example_cts: list[CT]):
+        self.compiled = compiled
+        self.arg_meta = [
+            (ct.m, ct.zp, ct.scale, [_cyc_meta(c) for c in ct.comps])
+            for ct in example_cts
+        ]
+        self.bk = example_cts[0].bk
+
+        # hoist payload arrays out of the IR
+        self.const_arrays: list = []
+        self._templates: dict[int, tuple] = {}
+        self._collect(compiled.ir)
+
+        out_box = {}
+
+        def raw(flat_inputs, consts):
+            cts = []
+            i = 0
+            for (m, zp, scale, comps_meta) in self.arg_meta:
+                comps = []
+                for (cm, qs, basis) in comps_meta:
+                    comps.append(Cyc(_ring(cm), qs, basis, flat_inputs[i], self.bk))
+                    i += 1
+                cts.append(CT(m=m, zp=zp, scale=scale, comps=tuple(comps)))
+            ir = self._substitute(compiled.ir, consts)
+            out = eval_ir(ir, *cts)
+            out_box["meta"] = (
+                out.m, out.zp, out.scale, [_cyc_meta(c) for c in out.comps]
+            )
+            return tuple(c.data for c in out.comps)
+
+        self._jitted = jax.jit(raw)
+        self._jitted.lower(
+            [c.data for ct in example_cts for c in ct.comps], self.const_arrays
+        )
+        self.out_meta = out_box["meta"]
+
+    # ------------------------------------------------------------------
+
+    def _collect(self, node: Node):
+        if isinstance(node, Lam):
+            self._collect(node.body)
+        elif isinstance(node, App):
+            self._collect(node.f)
+            self._collect(node.a)
+        elif isinstance(node, Prim) and node.name in _HOISTED:
+            self._templates[node.uid] = _extract_payload(node.payload, self.const_arrays)
+
+    def _substitute(self, node: Node, consts) -> Node:
+        if isinstance(node, Lam):
+            return Lam(self._substitute(node.body, consts))
+        if isinstance(node, App):
+            return App(self._substitute(node.f, consts), self._substitute(node.a, consts))
+        if isinstance(node, Prim) and node.uid in self._templates:
+            payload = _rebuild_payload(self._templates[node.uid], consts, self.bk)
+            return Prim(node.name, payload, ann=node.ann)
+        if isinstance(node, Var):
+            return Var(node.idx)
+        return node
+
+    def __call__(self, *cts: CT) -> CT:
+        flat = [c.data for ct in cts for c in ct.comps]
+        arrays = self._jitted(flat, self.const_arrays)
+        (m, zp, scale, comps_meta) = self.out_meta
+        comps = tuple(
+            Cyc(_ring(cm), qs, basis, arr, self.bk)
+            for (cm, qs, basis), arr in zip(comps_meta, arrays)
+        )
+        return CT(m=m, zp=zp, scale=scale, comps=comps)
 
 
 def jit_compile(compiled: CompiledExpr, example_cts: list[CT]) -> JitCompiled:
