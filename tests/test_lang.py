@@ -136,3 +136,39 @@ def test_all_main():
     from alchemy_tpu.examples.all_main import main
 
     assert main()
+
+
+def test_error_rate_prim():
+    # the object-language errorRate_ op (Language/SHE.hs:49-56)
+    from alchemy_tpu.interp.keys_hints import KeysHints
+    from alchemy_tpu.interp.pt2ct import pt2ct
+    from alchemy_tpu.lang import dsl
+    from alchemy_tpu.lang.ir import App
+    from alchemy_tpu.she.gadget import TrivGad
+    from alchemy_tpu.examples.arithmetic import M, M_MAP, PT, ZP, ZQS, addMul
+
+    ctx = KeysHints(3.0, seed=3)
+    compiled = pt2ct(addMul, res_ty=PT, m_map=M_MAP, zqs=ZQS, gad=TrivGad(), ctx=ctx)
+    rng = np.random.default_rng(3)
+    from alchemy_tpu.nt.factor import totient
+
+    pt1 = Cyc.from_coeffs(M, (ZP,), rng.integers(0, ZP, totient(M)), ctx.bk)
+    ct = compiled.encrypt_arg(pt1, 0)
+    sk = ctx.get_key(M_MAP[M])
+    rate = eval_ir(dsl.error_rate_(sk))(ct)
+    assert 0 < rate < 1e-4
+
+
+def test_params_on_rescale_tree_program():
+    # inference over the full HomomRLWR plaintext program
+    from alchemy_tpu.examples.homomrlwr import PT, ZQS, ring_round
+
+    expr = ring_round()
+    out = params(expr, res_ty=PT, zqs=ZQS)
+    lines = out.splitlines()
+    assert sum(1 for l in lines if l.startswith("linear")) == 5
+    assert sum(1 for l in lines if l.startswith("mul")) == 8  # 1 (y=x(1+x)) + 7 tree
+    assert sum(1 for l in lines if l.startswith("div2")) == 15
+    # the five tunnels run at pnoise 24..20 (one TunnelPNoise unit per hop)
+    linear_ps = [int(l.split()[1]) for l in lines if l.startswith("linear")]
+    assert linear_ps == [20, 21, 22, 23, 24]
