@@ -169,6 +169,6 @@ def test_params_on_rescale_tree_program():
     assert sum(1 for l in lines if l.startswith("linear")) == 5
     assert sum(1 for l in lines if l.startswith("mul")) == 8  # 1 (y=x(1+x)) + 7 tree
     assert sum(1 for l in lines if l.startswith("div2")) == 15
-    # the five tunnels run at pnoise 24..20 (one TunnelPNoise unit per hop)
+    # the five tunnels run at pnoise 15..19 (one TunnelPNoise unit per hop)
     linear_ps = [int(l.split()[1]) for l in lines if l.startswith("linear")]
-    assert linear_ps == [20, 21, 22, 23, 24]
+    assert linear_ps == [15, 16, 17, 18, 19]
