@@ -33,9 +33,23 @@ def xla_backend():
     return _XLA
 
 
+_CHECKED = None
+
+
+def checked_backend():
+    global _CHECKED
+    if _CHECKED is None:
+        from alchemy_tpu.backend.checked import CheckedBackend
+
+        _CHECKED = CheckedBackend()
+    return _CHECKED
+
+
 def get_backend(name: str):
     if name == "golden":
         return golden_backend()
     if name == "xla":
         return xla_backend()
+    if name == "checked":
+        return checked_backend()
     raise ValueError(f"unknown backend {name!r}")

@@ -163,13 +163,7 @@ class Cyc:
         assert all(c.ring is src_ring and c.qs == qs and c.basis == POW for c in cycs)
         mats, src_shape = _fused_embed_crt_mats(src_ring.m, m_target, qs)
         B = len(cycs)
-        datas = [c.data for c in cycs]
-        if isinstance(datas[0], np.ndarray):
-            stacked = np.stack(datas, axis=1)
-        else:
-            import jax.numpy as jnp
-
-            stacked = jnp.stack(datas, axis=1)
+        stacked = bk.stack_rows([c.data for c in cycs]).transpose((1, 0, 2))
         flat = stacked.reshape(len(qs), -1)
         out = bk.axis_matmul(flat, [None] + mats, (B, *src_shape), qs)
         out = out.reshape(len(qs), B, -1)
@@ -194,13 +188,7 @@ class Cyc:
         else:
             mats = [[icrt_factor_matrix(f.pe, q) for q in qs] for f in ring.factors]
         B = len(cycs)
-        datas = [c.data for c in cycs]
-        if isinstance(datas[0], np.ndarray):
-            stacked = np.stack(datas, axis=1)
-        else:
-            import jax.numpy as jnp
-
-            stacked = jnp.stack(datas, axis=1)
+        stacked = bk.stack_rows([c.data for c in cycs]).transpose((1, 0, 2))
         flat = stacked.reshape(len(qs), -1)  # [L, B*n]
         out = bk.axis_matmul(flat, [None] + mats, (B, *ring.shape), qs)
         out = out.reshape(len(qs), B, -1)
@@ -348,9 +336,8 @@ class Cyc:
         rel_dim = int(np.prod(rels))
         assert len(coeffs) == rel_dim
         L = len(qs)
-        datas = [c.to_pow().data for c in coeffs]
-        arr = bk.stack_rows(datas) if not isinstance(datas[0], np.ndarray) else np.stack(datas)
-        arr = arr.transpose(1, 0, 2) if arr.ndim == 3 else arr  # [L, rel, phi_sub]
+        arr = bk.stack_rows([c.to_pow().data for c in coeffs])
+        arr = arr.transpose((1, 0, 2))  # [L, rel, phi_sub]
         arr = arr.reshape(L, *rels, *subs)
         k = len(subs)
         # current order: [rel axes..., sub axes...] -> interleave (sub, rel)

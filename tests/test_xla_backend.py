@@ -97,3 +97,10 @@ def test_homomrlwr_example_on_xla_backend():
     from alchemy_tpu.examples.homomrlwr import run
 
     assert run(seed=5, backend="xla", verbose=False)
+
+
+def test_checked_backend_runs_arithmetic():
+    # every op runs on xla + golden with per-op bit-identity assertions
+    from alchemy_tpu.examples.arithmetic import run
+
+    assert run(seed=9, backend="checked", verbose=False)
