@@ -172,3 +172,18 @@ def test_params_on_rescale_tree_program():
     # the five tunnels run at pnoise 15..19 (one TunnelPNoise unit per hop)
     linear_ps = [int(l.split()[1]) for l in lines if l.startswith("linear")]
     assert linear_ps == [15, 16, 17, 18, 19]
+
+
+def test_compiled_arithmetic_print_shape():
+    # guard the compiled-IR structure (PT2CT.hs:177's op order)
+    from alchemy_tpu.interp.keys_hints import KeysHints
+    from alchemy_tpu.interp.pt2ct import pt2ct
+    from alchemy_tpu.she.gadget import TrivGad
+    from alchemy_tpu.examples.arithmetic import M_MAP, PT, ZQS, addMul
+
+    ctx = KeysHints(3.0, seed=0)
+    compiled = pt2ct(addMul, res_ty=PT, m_map=M_MAP, zqs=ZQS, gad=TrivGad(), ctx=ctx)
+    assert pprint(compiled.ir) == (
+        "(\\v0 -> (\\v1 -> (((\\v2 -> (\\v3 -> (modSwitch (keySwitchQuad <HINT> "
+        "(modSwitch ((mul v2) v3)))))) ((add v0) v1)) v1)))"
+    )
