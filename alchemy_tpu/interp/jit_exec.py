@@ -71,8 +71,10 @@ def _rebuild_payload(tmpl, arrays, bk):
     return tmpl[1]
 
 
-#: prims whose payloads carry large device data worth hoisting
-_HOISTED = {"keySwitchQuad_", "tunnel_", "addPublic_", "mulPublic_"}
+#: prims whose payloads carry large device data worth hoisting.
+#: addPublic_/mulPublic_ payloads stay baked: they are small plaintext
+#: constants that the evaluator lifts host-side (embed_pt) at trace time.
+_HOISTED = {"keySwitchQuad_", "tunnel_"}
 
 
 class JitCompiled:
