@@ -8,8 +8,6 @@ table of Eval.hs:120-160.
 
 from __future__ import annotations
 
-import numpy as np
-
 from alchemy_tpu.core.cyc import Cyc
 from alchemy_tpu.lang.ir import App, Lam, Node, Prim, Var
 from alchemy_tpu.she import bgv
