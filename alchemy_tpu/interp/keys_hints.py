@@ -57,18 +57,39 @@ class KeysHints:
 
     # -- hints --------------------------------------------------------------
 
+    def _gen_bk(self):
+        """Hint generation backend: always golden (eager numpy — avoids
+        per-op device round-trips at compile time); results are converted
+        wholesale to the context backend (she/convert.py)."""
+        from alchemy_tpu.backend import golden_backend
+
+        return golden_backend()
+
+    def _converted(self, obj):
+        if self.bk.name == "golden":
+            return obj
+        from alchemy_tpu.she.convert import to_backend
+
+        return to_backend(obj, self.bk)
+
     def get_quad_circ_hint(self, m_prime: int, qs: tuple[int, ...], gad: Gadget, zp: int):
         key = ("quad", m_prime, qs, gad, zp)
         if key not in self.hints:
             sk = self.get_key(m_prime)
-            self.hints[key] = bgv.ks_quad_circ_hint(sk, gad, qs, zp, self.rng, self.bk)
+            hint = bgv.ks_quad_circ_hint(sk, gad, qs, zp, self.rng, self._gen_bk())
+            self.hints[key] = self._converted(hint)
         return self.hints[key]
 
     def get_tunnel_hint(self, f: LinearMap, r_p: int, s_p: int,
                         qs: tuple[int, ...], gad: Gadget, zp: int) -> TunnelHint:
         sk_out = self.get_key(s_p)
         sk_in = self.get_key(r_p)
-        return tunnel_hint(f, sk_out, sk_in, gad, qs, zp, self.rng, self.bk)
+        from alchemy_tpu.she.convert import to_backend as _tb
+        from alchemy_tpu.backend import golden_backend
+
+        f_gold = f if self.bk.name == "golden" else _tb(f, golden_backend())
+        hint = tunnel_hint(f_gold, sk_out, sk_in, gad, qs, zp, self.rng, self._gen_bk())
+        return self._converted(hint)
 
     # -- encryption boundary (PT2CT.hs:76-99) -------------------------------
 
