@@ -187,3 +187,33 @@ def test_compiled_arithmetic_print_shape():
         "(\\v0 -> (\\v1 -> (((\\v2 -> (\\v3 -> (modSwitch (keySwitchQuad <HINT> "
         "(modSwitch ((mul v2) v3)))))) ((add v0) v1)) v1)))"
     )
+
+
+def test_pt2ct_lookup_error():
+    from alchemy_tpu.interp.keys_hints import KeysHints
+    from alchemy_tpu.interp.pt2ct import pt2ct
+    from alchemy_tpu.she.gadget import TrivGad
+    from alchemy_tpu.examples.arithmetic import PT, ZQS, addMul
+
+    with pytest.raises(ValueError, match="divide"):
+        pt2ct(addMul, res_ty=PT, m_map={4: 511}, zqs=ZQS, gad=TrivGad(),
+              ctx=KeysHints(3.0))
+
+
+def test_pt2ct_non_ntt_modulus_error():
+    from alchemy_tpu.interp.keys_hints import KeysHints
+    from alchemy_tpu.interp.pt2ct import pt2ct
+    from alchemy_tpu.she.gadget import TrivGad
+    from alchemy_tpu.examples.arithmetic import M_MAP, PT, addMul
+
+    bad = RnsChain([1000003, 1000033])  # primes but ≢ 1 mod 512
+    with pytest.raises(ValueError, match="NTT-friendly"):
+        pt2ct(addMul, res_ty=PT, m_map=M_MAP, zqs=bad, gad=TrivGad(),
+              ctx=KeysHints(3.0))
+
+
+def test_local_batch_slice():
+    from alchemy_tpu.parallel.multihost import local_batch_slice
+
+    s = local_batch_slice(16)
+    assert s == slice(0, 16)  # single process
