@@ -36,14 +36,26 @@ def lift_pt_centered(pt: Cyc) -> np.ndarray:
     return np.where(arr > p // 2, arr - p, arr)
 
 
-def embed_pt(pt: Cyc, m_prime: int, qs: tuple[int, ...], scale: int = 1) -> Cyc:
+def embed_pt(pt: Cyc, m_prime: int, qs: tuple[int, ...], scale: int = 1,
+             out_bk=None) -> Cyc:
     """Embed scale·(plaintext mod p) into R_{m'} over the ciphertext chain,
-    via the centered lift (small-norm representative)."""
+    via the centered lift (small-norm representative).
+
+    Computed entirely on the golden (numpy) backend — the plaintext is a
+    compile-time constant, and host math keeps it a constant under jit
+    tracing — then re-homed to `out_bk` (defaults to the plaintext's)."""
+    from alchemy_tpu.backend import golden_backend
+
+    gb = golden_backend()
+    out_bk = out_bk or pt.bk
     p = pt.qs[0]
-    scaled = pt.scalar_mul(scale % p)
+    pt_g = Cyc(pt.ring, pt.qs, pt.basis, gb.asarray(pt.bk.to_numpy(pt.data), pt.qs), gb)
+    scaled = pt_g.scalar_mul(scale % p)
     lifted = lift_pt_centered(scaled)
-    small = Cyc.from_coeffs(pt.m, qs, np.stack([lifted % q for q in qs]), pt.bk)
-    return small.embed(m_prime)
+    small = Cyc.from_coeffs(pt.m, qs, np.stack([lifted % q for q in qs]), gb)
+    emb = small.embed(m_prime).to_pow()
+    return Cyc(emb.ring, emb.qs, emb.basis,
+               out_bk.asarray(gb.to_numpy(emb.data), emb.qs), out_bk)
 
 
 def twace_int_host(arr: np.ndarray, m: int, m_sub: int) -> np.ndarray:
@@ -156,7 +168,7 @@ def mul(a: CT, b: CT) -> CT:
 
 def add_public(pt: Cyc, ct: CT) -> CT:
     """ct + public plaintext (SymmSHE addPublic)."""
-    mu = embed_pt(pt, ct.m_prime, ct.qs, scale=ct.scale)
+    mu = embed_pt(pt, ct.m_prime, ct.qs, scale=ct.scale, out_bk=ct.bk)
     comps = list(ct.comps)
     comps[0] = comps[0] + mu
     return ct.with_comps(comps)
@@ -165,7 +177,7 @@ def add_public(pt: Cyc, ct: CT) -> CT:
 def mul_public(pt: Cyc, ct: CT) -> CT:
     """ct · public plaintext (SymmSHE mulPublic): multiply every component by
     the centered-lifted embedding of the plaintext."""
-    mu = embed_pt(pt, ct.m_prime, ct.qs, scale=1)
+    mu = embed_pt(pt, ct.m_prime, ct.qs, scale=1, out_bk=ct.bk)
     return ct.with_comps(tuple(c * mu for c in ct.comps))
 
 
