@@ -183,6 +183,7 @@ class XlaBackend:
 
     def __init__(self):
         self._mat_cache: dict = {}
+        self._mat_dev_cache: dict = {}
 
     # -- construction -------------------------------------------------------
 
@@ -228,28 +229,38 @@ class XlaBackend:
 
     # -- per-axis transforms ------------------------------------------------
 
-    def _mats_device(self, mat, per_limb: bool, qs: tuple[int, ...]):
+    def _mats_device(self, mat, per_limb: bool, qs: tuple[int, ...], traced: bool):
         """Stack per-limb matrices to [L, d_out, d_in] u32 with Shoup
-        companions and bf16 digit planes, cached by content."""
+        companions and bf16 digit planes, cached by content.
+
+        Two-tier cache: host numpy always (safe to reuse inside jit traces,
+        where they embed as constants); device arrays only for eager use
+        (device arrays created inside a trace would leak tracers)."""
         mats = list(mat) if per_limb else [mat] * len(qs)
         key = (qs, tuple(m.tobytes() for m in mats), mats[0].shape)
-        hit = self._mat_cache.get(key)
-        if hit is not None:
-            return hit
-        ws, wss = [], []
-        for m, q in zip(mats, qs):
-            mm = np.asarray(m, dtype=np.int64) % q
-            ws.append(mm.astype(np.uint32))
-            ss = (mm.astype(object) << 32) // q
-            wss.append(np.array(ss, dtype=np.uint32))
-        W = np.stack(ws)
-        planes = np.stack(
-            [(W >> (8 * d)) & 0xFF for d in range(4)], axis=1
-        ).astype(np.float32)  # [L, 4, d_out, d_in]
-        out = (jnp.asarray(W), jnp.asarray(np.stack(wss)),
-               jnp.asarray(planes).astype(jnp.bfloat16))
-        self._mat_cache[key] = out
-        return out
+        host = self._mat_cache.get(key)
+        if host is None:
+            ws, wss = [], []
+            for m, q in zip(mats, qs):
+                mm = np.asarray(m, dtype=np.int64) % q
+                ws.append(mm.astype(np.uint32))
+                ss = (mm.astype(object) << 32) // q
+                wss.append(np.array(ss, dtype=np.uint32))
+            W = np.stack(ws)
+            import ml_dtypes
+
+            planes = np.stack(
+                [(W >> (8 * d)) & 0xFF for d in range(4)], axis=1
+            ).astype(ml_dtypes.bfloat16)  # [L, 4, d_out, d_in]
+            host = (W, np.stack(wss), planes)
+            self._mat_cache[key] = host
+        if traced:
+            return host
+        dev = self._mat_dev_cache.get(key)
+        if dev is None:
+            dev = tuple(jnp.asarray(h) for h in host)
+            self._mat_dev_cache[key] = dev
+        return dev
 
     @staticmethod
     def _use_mxu() -> bool:
@@ -270,7 +281,8 @@ class XlaBackend:
             if mat is None:
                 continue
             per_limb = isinstance(mat, (list, tuple))
-            W, WS, Wp = self._mats_device(mat, per_limb, qs)
+            traced = isinstance(a, jax.core.Tracer)
+            W, WS, Wp = self._mats_device(mat, per_limb, qs, traced)
             d_out, d_in = W.shape[1], W.shape[2]
             xm = jnp.moveaxis(x, 1 + ax, 1)  # [L, d_in, *rest]
             rest_shape = xm.shape[2:]
