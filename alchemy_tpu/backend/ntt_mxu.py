@@ -5,11 +5,17 @@ NTT_n = (DFT_n1 ⊗ I)·twiddle·(I ⊗ DFT_n2) with the per-factor DFTs as
 matrix multiplications on the systolic array:
 
 - 32-bit operands are split into four unsigned 8-bit digit planes;
+- the matrix is pre-scaled per operand plane: V_d = 2^(8d)·W mod q is
+  precomputed on the host and split into its own four 8-bit planes V_{d,f},
+  so x·W = Σ_d x_d·(2^(8d)W) = Σ_f 2^(8f)·(Σ_d x_d @ V_{d,f});
 - each plane pair is multiplied as bf16×bf16 → f32 (products of 8-bit
   values are exact in bf16/f32; row sums < 255·255·256 < 2^24 stay exact
   in f32 for contraction size up to 256);
-- the seven diagonal sums S_t are recombined mod q with Shoup multiplies
-  by 2^(8t) mod q.
+- only FOUR plane sums S_f remain (vs seven diagonal sums in the naive
+  scheme), and Σ_f S_f·2^(8f) < 2^51, so the whole value is accumulated
+  exactly in a (lo, hi) uint32 pair and reduced mod q ONCE (one Shoup
+  multiply by 2^32 mod q + one 16-bit-split reduction) — ~3× fewer VPU
+  ops per matmul stage than reducing each diagonal sum separately.
 
 Output slot order is the (k1, k2) grid order (k = k1 + n1·k2 at position
 k1·n2 + k2) — fixed and self-inverse; pointwise ct ops are order-agnostic
@@ -50,6 +56,16 @@ def _digit_planes_const(M: np.ndarray) -> np.ndarray:
     """[4, rows, cols] bf16 digit planes of a u32 matrix (host)."""
     planes = np.stack([(M >> (8 * d)) & 0xFF for d in range(4)])
     return planes.astype(np.float32)  # cast to bf16 at use site
+
+
+def scaled_planes(M: np.ndarray, q: int) -> np.ndarray:
+    """[4, 4, rows, cols] digit planes of V_d = 2^(8d)·M mod q (host f32):
+    axis 0 indexes the operand plane d, axis 1 the matrix plane f."""
+    per_d = []
+    for d in range(4):
+        Vd = (np.asarray(M, dtype=np.int64) * pow(2, 8 * d, q)) % q
+        per_d.append(_digit_planes_const(Vd.astype(np.uint32)))
+    return np.stack(per_d)
 
 
 @lru_cache(maxsize=None)
@@ -114,17 +130,14 @@ def mxu_tables(n: int, qs: tuple[int, ...]):
                 post_s[li, pos] = (u << 32) // q
 
     def planes(M):
-        # [L, 4, rows, cols] digit planes (f32 host; bf16 on device)
-        return np.stack([_digit_planes_const(M[li].astype(np.uint32)) for li in range(len(qs))])
+        # [L, 4, 4, rows, cols] scaled digit planes (f32 host; bf16 on device)
+        return np.stack([scaled_planes(M[li], qs[li]) for li in range(len(qs))])
 
     qcol = np.array(qs, dtype=np.uint32)[:, None, None]
-    pow8 = np.empty((7, L), dtype=np.uint32)
-    pow8_s = np.empty((7, L), dtype=np.uint32)
-    for t in range(7):
-        for li, q in enumerate(qs):
-            v = pow(2, 8 * t, q)
-            pow8[t, li] = v
-            pow8_s[t, li] = (v << 32) // q
+    r32 = np.array([(1 << 32) % q for q in qs], dtype=np.uint32)[:, None, None]
+    r32s = np.array(
+        [shoup_const((1 << 32) % q, q) for q in qs], dtype=np.uint32
+    )[:, None, None]
     r16 = np.array([(1 << 16) % q for q in qs], dtype=np.uint32)[:, None, None]
     r16s = np.array(
         [shoup_const((1 << 16) % q, q) for q in qs], dtype=np.uint32
@@ -135,7 +148,7 @@ def mxu_tables(n: int, qs: tuple[int, ...]):
         "W1": planes(W1), "W2": planes(W2), "W1i": planes(W1i), "W2i": planes(W2i),
         "tw": (tw, tw_s), "itw": (itw, itw_s),
         "pre": (pre, pre_s), "post": (post, post_s),
-        "q": qcol, "pow8": pow8, "pow8_s": pow8_s, "r16": r16, "r16s": r16s,
+        "q": qcol, "r32": r32, "r32s": r32s, "r16": r16, "r16s": r16s,
     }
 
 
@@ -154,32 +167,37 @@ def _reduce_u32g(v, q, r16, r16s):
 
 
 def _matmul_mod(x, Wp, t):
-    """Modular matmul over the MXU: x [..., L, R, K] u32 × W [L, 4, K_out, K]
-    (digit planes; DFT matrix applied as out[r, a] = Σ_b W[a, b]·x[r, b]).
+    """Modular matmul over the MXU: x [..., L, R, K] u32 × scaled planes
+    Wp [L, 4, 4, K_out, K] (V_{d,f} of V_d = 2^(8d)·W mod q; DFT matrix
+    applied as out[r, a] = Σ_b W[a, b]·x[r, b]).
 
-    Returns [..., L, R, K_out] u32 mod q. Each bf16 matmul result is exact in
-    f32 (row sums < 2^24 for K ≤ 256); diagonal sums are accumulated in u32
-    (up to 4·2^24, which f32 could not hold exactly)."""
+    Returns [..., L, R, K_out] u32 mod q. Each bf16 matmul result is exact
+    in f32 (row sums < 2^24 for K ≤ 256); the four plane sums S_f < 2^26
+    are accumulated in u32, then Σ_f S_f·2^(8f) < 2^51 is assembled as an
+    exact (lo, hi) uint32 pair and reduced mod q once."""
     q, r16, r16s = t["q"], t["r16"], t["r16s"]
     xp = _digit_planes_runtime(x)
     Wb = Wp.astype(jnp.bfloat16)
-    # diag sums S_t = Σ_{d+e=t} x_d @ W_e^T, accumulated exactly in u32
-    sums = [None] * 7
+    sums = [None] * 4
     for d in range(4):
-        for e in range(4):
+        for f in range(4):
             # einsum over K: [..., L, R, K] × [L, K_out, K] → [..., L, R, K_out]
             prod = jnp.einsum(
-                "...lrk,lak->...lra", xp[d], Wb[:, e],
+                "...lrk,lak->...lra", xp[d], Wb[:, d, f],
                 preferred_element_type=jnp.float32,
             ).astype(jnp.uint32)
-            i = d + e
-            sums[i] = prod if sums[i] is None else sums[i] + prod
-    out = None
-    for i in range(7):
-        red = _reduce_u32g(sums[i], q, r16, r16s)
-        term = mulmod_shoup(red, t["pow8"][i][:, None, None], t["pow8_s"][i][:, None, None], q)
-        out = term if out is None else _cond_sub(out + term, q)
-    return out
+            sums[f] = prod if sums[f] is None else sums[f] + prod
+    # V = Σ_f S_f·2^(8f) < 2^51: exact 64-bit accumulation in (lo, hi)
+    lo = sums[0]
+    hi = jnp.zeros_like(lo)
+    for f in (1, 2, 3):
+        add_lo = sums[f] << np.uint32(8 * f)
+        lo = lo + add_lo
+        carry = (lo < add_lo).astype(jnp.uint32)
+        hi = hi + (sums[f] >> np.uint32(32 - 8 * f)) + carry
+    lored = _reduce_u32g(lo, q, r16, r16s)
+    hired = mulmod_shoup(hi, t["r32"], t["r32s"], q)  # hi < 2^19
+    return _cond_sub(hired + lored, q)
 
 
 @partial(jax.jit, static_argnums=(1, 2))

@@ -61,46 +61,55 @@ def _planes(x):
     return out
 
 
-def _mod_matmul(planes_x, W_planes, q, r16, r16s, pow8, pow8_s, left: bool):
+def _mod_matmul(planes_x, W_planes, q, r16, r16s, r32, r32s, left: bool):
     """Σ_b W[a,b]·x[b,·] (left=True: W @ x) or Σ_b x[·,b]·Wt[b,a]
-    (left=False: x @ Wt), with digit-plane exact bf16 matmuls."""
-    sums = [None] * 7
+    (left=False: x @ Wt), with digit-plane exact bf16 matmuls over the
+    scaled planes V_{d,f} of 2^(8d)·W mod q (W_planes[d][f]); the four
+    plane sums assemble into an exact (lo, hi) pair reduced mod q once
+    (see backend/ntt_mxu.py)."""
+    sums = [None] * 4
     for d in range(4):
         xd = planes_x[d]
-        for e in range(4):
-            We = W_planes[e]
+        for f in range(4):
+            We = W_planes[d][f]
             if left:
                 prod = jnp.dot(We, xd, preferred_element_type=jnp.float32)
             else:
                 prod = jnp.dot(xd, We, preferred_element_type=jnp.float32)
             # f32 → i32 (exact, < 2^24) → bitcast u32
             prod = jax.lax.bitcast_convert_type(prod.astype(jnp.int32), U32)
-            i = d + e
-            sums[i] = prod if sums[i] is None else sums[i] + prod
-    out = None
-    for i in range(7):
-        red = _reduce_u32(sums[i], q, r16, r16s)
-        term = _shoup(red, pow8[i], pow8_s[i], q)
-        out = term if out is None else jnp.where(out + term >= q, out + term - q, out + term)
-    return out
+            sums[f] = prod if sums[f] is None else sums[f] + prod
+    lo = sums[0]
+    hi = jnp.zeros_like(lo)
+    for f in (1, 2, 3):
+        add_lo = sums[f] << np.uint32(8 * f)
+        lo = lo + add_lo
+        carry = (lo < add_lo).astype(U32)
+        hi = hi + (sums[f] >> np.uint32(32 - 8 * f)) + carry
+    lored = _reduce_u32(lo, q, r16, r16s)
+    hired = _shoup(hi, r32, r32s, q)  # hi < 2^19
+    out = hired + lored
+    return jnp.where(out >= q, out - q, out)
 
 
 def _fwd_kernel(scalars_ref, x_ref, w1_ref, tw_ref, tw_s_ref,
                 w2t_ref, out_ref):
-    # scalars: [L, 17] in SMEM: q, r16, r16s, pow8[0..6], pow8_s[0..6]
+    # scalars: [L, 5] in SMEM: q, r16, r16s, r32, r32s
     # (psi twists are folded into W1/tw — see backend/ntt_mxu.py tables)
     l = pl.program_id(0)
     q = scalars_ref[l, 0]
     r16 = scalars_ref[l, 1]
     r16s = scalars_ref[l, 2]
-    pow8 = [scalars_ref[l, 3 + i] for i in range(7)]
-    pow8_s = [scalars_ref[l, 10 + i] for i in range(7)]
+    r32 = scalars_ref[l, 3]
+    r32s = scalars_ref[l, 4]
     x = x_ref[0]                       # [n1, n2] u32
-    y = _mod_matmul(_planes(x), [w1_ref[0, e] for e in range(4)],
-                    q, r16, r16s, pow8, pow8_s, left=True)
+    y = _mod_matmul(_planes(x),
+                    [[w1_ref[0, d, f] for f in range(4)] for d in range(4)],
+                    q, r16, r16s, r32, r32s, left=True)
     y = _shoup(y, tw_ref[0], tw_s_ref[0], q)
-    z = _mod_matmul(_planes(y), [w2t_ref[0, e] for e in range(4)],
-                    q, r16, r16s, pow8, pow8_s, left=False)
+    z = _mod_matmul(_planes(y),
+                    [[w2t_ref[0, d, f] for f in range(4)] for d in range(4)],
+                    q, r16, r16s, r32, r32s, left=False)
     out_ref[0] = z
 
 
@@ -110,14 +119,16 @@ def _inv_kernel(scalars_ref, x_ref, w2it_ref, itw_ref, itw_s_ref, w1i_ref,
     q = scalars_ref[l, 0]
     r16 = scalars_ref[l, 1]
     r16s = scalars_ref[l, 2]
-    pow8 = [scalars_ref[l, 3 + i] for i in range(7)]
-    pow8_s = [scalars_ref[l, 10 + i] for i in range(7)]
+    r32 = scalars_ref[l, 3]
+    r32s = scalars_ref[l, 4]
     x = x_ref[0]                       # [n1, n2] in (k1, k2) grid order
-    z = _mod_matmul(_planes(x), [w2it_ref[0, e] for e in range(4)],
-                    q, r16, r16s, pow8, pow8_s, left=False)
+    z = _mod_matmul(_planes(x),
+                    [[w2it_ref[0, d, f] for f in range(4)] for d in range(4)],
+                    q, r16, r16s, r32, r32s, left=False)
     z = _shoup(z, itw_ref[0], itw_s_ref[0], q)
-    y = _mod_matmul(_planes(z), [w1i_ref[0, e] for e in range(4)],
-                    q, r16, r16s, pow8, pow8_s, left=True)
+    y = _mod_matmul(_planes(z),
+                    [[w1i_ref[0, d, f] for f in range(4)] for d in range(4)],
+                    q, r16, r16s, r32, r32s, left=True)
     out_ref[0] = y
 
 
@@ -126,20 +137,16 @@ def _pallas_tables(n: int, qs: tuple[int, ...]):
     t = mxu_tables(n, qs)
     n1, n2 = t["n1"], t["n2"]
     L = len(qs)
-    scal = np.zeros((L, 17), dtype=np.uint32)
+    scal = np.zeros((L, 5), dtype=np.uint32)
     scal[:, 0] = t["q"][:, 0, 0]
     scal[:, 1] = t["r16"][:, 0, 0]
     scal[:, 2] = t["r16s"][:, 0, 0]
-    for i in range(7):
-        scal[:, 3 + i] = t["pow8"][i]
-        scal[:, 10 + i] = t["pow8_s"][i]
+    scal[:, 3] = t["r32"][:, 0, 0]
+    scal[:, 4] = t["r32s"][:, 0, 0]
 
     import ml_dtypes
 
-    def grid(arr, shape):
-        return np.ascontiguousarray(arr.reshape(shape))
-
-    def bf16(planes):  # [L, 4, a, b] f32 host → host bf16 numpy
+    def bf16(planes):  # [L, 4, 4, a, b] f32 host → host bf16 numpy
         return np.ascontiguousarray(planes.astype(ml_dtypes.bfloat16))
 
     # host numpy only: cached tables must not capture jit-trace constants
@@ -174,12 +181,12 @@ def ntt_pallas(x, n: int, qs: tuple[int, ...]):
         _fwd_kernel,
         grid=(L,),
         in_specs=[
-            pl.BlockSpec((L, 17), lambda l: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((L, 5), lambda l: (0, 0), memory_space=pltpu.SMEM),
             _limb_spec((n1, n2)),
-            _limb_spec((4, n1, n1)),
+            _limb_spec((4, 4, n1, n1)),
             _limb_spec((n1, n2)),
             _limb_spec((n1, n2)),
-            _limb_spec((4, n2, n2)),
+            _limb_spec((4, 4, n2, n2)),
         ],
         out_specs=_limb_spec((n1, n2)),
         out_shape=jax.ShapeDtypeStruct((L, n1, n2), jnp.uint32),
@@ -197,12 +204,12 @@ def intt_pallas(x, n: int, qs: tuple[int, ...]):
         _inv_kernel,
         grid=(L,),
         in_specs=[
-            pl.BlockSpec((L, 17), lambda l: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((L, 5), lambda l: (0, 0), memory_space=pltpu.SMEM),
             _limb_spec((n1, n2)),
-            _limb_spec((4, n2, n2)),
+            _limb_spec((4, 4, n2, n2)),
             _limb_spec((n1, n2)),
             _limb_spec((n1, n2)),
-            _limb_spec((4, n1, n1)),
+            _limb_spec((4, 4, n1, n1)),
         ],
         out_specs=_limb_spec((n1, n2)),
         out_shape=jax.ShapeDtypeStruct((L, n1, n2), jnp.uint32),

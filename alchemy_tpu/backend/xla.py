@@ -107,20 +107,6 @@ def mulmod(a, b, qs: tuple[int, ...]):
     return _mulmod_arrays(a, b, c["q"], c["r2"], c["r2s"], c["r16"], c["r16s"])
 
 
-@lru_cache(maxsize=None)
-def _pow8_consts(qs: tuple[int, ...]):
-    """2^(8t) mod q per limb, [L,1,1] with Shoup companions (host numpy)."""
-    L = len(qs)
-    pw = np.zeros((7, L, 1, 1), dtype=np.uint32)
-    pws = np.zeros((7, L, 1, 1), dtype=np.uint32)
-    for t in range(7):
-        for li, q in enumerate(qs):
-            v = pow(2, 8 * t, q)
-            pw[t, li, 0, 0] = v
-            pws[t, li, 0, 0] = (v << 32) // q
-    return [pw[t] for t in range(7)], [pws[t] for t in range(7)]
-
-
 @jax.jit
 def _add_mod(a, b, q):
     return _cond_sub(a + b, q)
@@ -150,32 +136,37 @@ def _axis_apply(xm, W, WS, q4):
 
 
 @jax.jit
-def _axis_apply_mxu(xm, Wp, q, r16, r16s, pow8, pow8s):
+def _axis_apply_mxu(xm, Wp, q, r16, r16s, r32, r32s):
     """MXU path: digit-plane bf16 einsums (exact for d_in ≤ 256; see
     backend/ntt_mxu.py) — contracts on the systolic array without
     materializing the [d_out, d_in, R] product tensor.
 
-    xm [L, d_in, R] u32; Wp [L, 4, d_out, d_in] bf16 planes; consts [L,1,1]."""
+    xm [L, d_in, R] u32; Wp [L, 4, 4, d_out, d_in] scaled bf16 planes
+    (V_{d,f} of 2^(8d)·W mod q — ntt_mxu.scaled_planes); consts [L,1,1].
+    The four plane sums assemble into an exact (lo, hi) pair reduced once."""
     xp = [
         ((xm >> np.uint32(8 * d)) & np.uint32(0xFF)).astype(jnp.bfloat16)
         for d in range(4)
     ]
-    sums = [None] * 7
+    sums = [None] * 4
     for d in range(4):
-        for e in range(4):
+        for f in range(4):
             prod = jnp.einsum(
-                "lkr,lak->lar", xp[d], Wp[:, e],
+                "lkr,lak->lar", xp[d], Wp[:, d, f],
                 preferred_element_type=jnp.float32,
             ).astype(jnp.uint32)
-            i = d + e
-            sums[i] = prod if sums[i] is None else sums[i] + prod
-    out = None
-    for i in range(7):
-        ll, lh = _split(sums[i])
-        red = _cond_sub(mulmod_shoup(lh, r16, r16s, q) + ll, q)
-        term = mulmod_shoup(red, pow8[i], pow8s[i], q)
-        out = term if out is None else _cond_sub(out + term, q)
-    return out
+            sums[f] = prod if sums[f] is None else sums[f] + prod
+    lo = sums[0]
+    hi = jnp.zeros_like(lo)
+    for f in (1, 2, 3):
+        add_lo = sums[f] << np.uint32(8 * f)
+        lo = lo + add_lo
+        carry = (lo < add_lo).astype(jnp.uint32)
+        hi = hi + (sums[f] >> np.uint32(32 - 8 * f)) + carry
+    ll, lh = _split(lo)
+    lored = _cond_sub(mulmod_shoup(lh, r16, r16s, q) + ll, q)
+    hired = mulmod_shoup(hi, r32, r32s, q)  # hi < 2^19
+    return _cond_sub(hired + lored, q)
 
 
 class XlaBackend:
@@ -249,9 +240,11 @@ class XlaBackend:
             W = np.stack(ws)
             import ml_dtypes
 
+            from alchemy_tpu.backend.ntt_mxu import scaled_planes
+
             planes = np.stack(
-                [(W >> (8 * d)) & 0xFF for d in range(4)], axis=1
-            ).astype(ml_dtypes.bfloat16)  # [L, 4, d_out, d_in]
+                [scaled_planes(W[li], qs[li]) for li in range(len(qs))]
+            ).astype(ml_dtypes.bfloat16)  # [L, 4, 4, d_out, d_in]
             host = (W, np.stack(wss), planes)
             self._mat_cache[key] = host
         if traced:
@@ -273,7 +266,8 @@ class XlaBackend:
         q3 = c["q"].reshape(L, 1, 1)
         r16_3 = c["r16"].reshape(L, 1, 1)
         r16s_3 = c["r16s"].reshape(L, 1, 1)
-        pow8, pow8s = _pow8_consts(qs)
+        r32_3 = c["r2"].reshape(L, 1, 1)
+        r32s_3 = c["r2s"].reshape(L, 1, 1)
         mxu = self._use_mxu()
         cur_shape = list(shape)
         x = a.reshape(L, *cur_shape)
@@ -288,7 +282,7 @@ class XlaBackend:
             rest_shape = xm.shape[2:]
             xm = xm.reshape(L, d_in, -1)
             if mxu and d_in <= 256:
-                res = _axis_apply_mxu(xm, Wp, q3, r16_3, r16s_3, pow8, pow8s)
+                res = _axis_apply_mxu(xm, Wp, q3, r16_3, r16s_3, r32_3, r32s_3)
             else:
                 res = _axis_apply(xm, W, WS, q4)  # [L, d_out, R]
             res = res.reshape(L, d_out, *rest_shape)
