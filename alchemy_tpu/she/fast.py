@@ -223,11 +223,17 @@ def mul_relin(p: FastParams, ct_a, ct_b, hint_b, hint_a):
     consts = _fast_consts(p)
     # all digits at once: [..., Ldig, L, n]
     rows = c2_coeff[..., :, None, :]                      # [..., Ldig, 1, n]
-    dig = _reduce_u32(
-        jnp.broadcast_to(rows, (*c2_coeff.shape[:-2], L, L, p.n)),
-        consts["q"], consts["r16"], consts["r16s"],
-    )
-    dig_ntt = _ntt_p(p, dig)                # one batched NTT
+    bc = jnp.broadcast_to(rows, (*c2_coeff.shape[:-2], L, L, p.n))
+    if p.impl == "mxu":
+        # the digit-plane matmul computes Σ_b x_b·W[a,b] mod q exactly for
+        # ANY uint32 input (planes are ≤ 255 regardless), so the per-limb
+        # residues go into the NTT unreduced — the mod-q_j reduction of each
+        # digit happens for free at matmul recombination, skipping a full
+        # elementwise reduction pass over [Ldig, L, n]
+        dig_ntt = _ntt_p(p, bc)
+    else:
+        dig = _reduce_u32(bc, consts["q"], consts["r16"], consts["r16s"])
+        dig_ntt = _ntt_p(p, dig)            # one batched NTT
     out0, out1 = c0, c1
     q = consts["q"]
     shoup_hints = isinstance(hint_b, (tuple, list))
