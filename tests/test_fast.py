@@ -131,6 +131,26 @@ def test_fast_mul_relin_mxu_impl():
     assert np.array_equal(fast.decrypt(p, s, out), want)
 
 
+def test_fast_mul_relin_mxu_matches_vpu():
+    """The mxu path feeds UNREDUCED limb residues into the digit NTT (the
+    matmul recombination reduces mod the target modulus for free —
+    she/fast.py mul_relin); this pins its decrypt against the vpu path,
+    which reduces digits explicitly, on a multi-limb config."""
+    results = {}
+    for impl in ("mxu", "vpu"):
+        p = FastParams.make(8, 3, zp=2, impl=impl)
+        rng = np.random.default_rng(11)
+        s = fast.keygen(p, rng)
+        hb, ha = fast.relin_hint(p, s, rng, shoup=True)
+        m1 = rng.integers(0, 2, p.n)
+        m2 = rng.integers(0, 2, p.n)
+        ct1 = fast.encrypt(p, s, m1, rng)
+        ct2 = fast.encrypt(p, s, m2, rng)
+        out = fast.mul_relin(p, ct1, ct2, hb, ha)
+        results[impl] = fast.decrypt(p, s, out)
+    assert np.array_equal(results["mxu"], results["vpu"])
+
+
 def test_deep_circuit_depth16():
     from alchemy_tpu.examples.deep_circuit import run
 
