@@ -219,6 +219,55 @@ def ntt_mxu(x, n: int, qs: tuple[int, ...]):
     return z.reshape(*lead, L, n)
 
 
+def _matmul_mod_bcast(x, Wp, t):
+    """Stage-1 matmul of the broadcast NTT: x [D, R, K] u32 (shared across
+    limbs) × scaled planes Wp [L, 4, 4, K_out, K] → [D, L, R, K_out] u32.
+    Same recombination as _matmul_mod; the operand digit planes are extracted
+    from the L-fold-smaller un-broadcast input."""
+    q, r16, r16s = t["q"], t["r16"], t["r16s"]
+    xp = _digit_planes_runtime(x)
+    Wb = Wp.astype(jnp.bfloat16)
+    sums = [None] * 4
+    for d in range(4):
+        for f in range(4):
+            prod = jnp.einsum(
+                "drk,lak->dlra", xp[d], Wb[:, d, f],
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.uint32)
+            sums[f] = prod if sums[f] is None else sums[f] + prod
+    lo = sums[0]
+    hi = jnp.zeros_like(lo)
+    for f in (1, 2, 3):
+        add_lo = sums[f] << np.uint32(8 * f)
+        lo = lo + add_lo
+        carry = (lo < add_lo).astype(jnp.uint32)
+        hi = hi + (sums[f] >> np.uint32(32 - 8 * f)) + carry
+    lored = _reduce_u32g(lo, q, r16, r16s)
+    hired = mulmod_shoup(hi, t["r32"], t["r32s"], q)
+    return _cond_sub(hired + lored, q)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def ntt_mxu_bcast(x, n: int, qs: tuple[int, ...]):
+    """Forward NTT of each row of x [D, n] under EVERY limb's tables at once:
+    returns [D, L, n]. Equivalent to ntt_mxu(broadcast_to(x[:, None, :],
+    (D, L, n)), n, qs) but stage 1 contracts the un-broadcast input directly
+    (the gadget-digit fan-out of the relinearization hot path: the digit rows
+    are identical across target limbs, so materializing — and re-reading —
+    the [D, L, n] fan-out through stage 1 is pure HBM waste)."""
+    t = mxu_tables(n, qs)
+    n1, n2 = t["n1"], t["n2"]
+    D = x.shape[0]
+    L = len(qs)
+    xg = jnp.swapaxes(x.reshape(D, n1, n2), -1, -2)    # [D, n2, n1]
+    y = _matmul_mod_bcast(xg, t["W1"], t)              # [D, L, n2, k1]
+    y = jnp.swapaxes(y, -1, -2)                        # [D, L, k1, j2]
+    twv, tws = t["tw"]
+    y = mulmod_shoup(y, twv, tws, t["q"])
+    z = _matmul_mod(y, t["W2"], t)                     # [D, L, k1, k2]
+    return z.reshape(D, L, n)
+
+
 @partial(jax.jit, static_argnums=(1, 2))
 def intt_mxu(x, n: int, qs: tuple[int, ...]):
     """Inverse of ntt_mxu ((k1,k2) grid in, natural order out)."""

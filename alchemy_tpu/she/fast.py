@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from alchemy_tpu.backend.ntt import intt_negacyclic, ntt_negacyclic
-from alchemy_tpu.backend.ntt_mxu import intt_mxu, ntt_mxu
+from alchemy_tpu.backend.ntt_mxu import intt_mxu, ntt_mxu, ntt_mxu_bcast
 
 #: default NTT implementation for the fused fast path: "mxu" (4-step bf16
 #: digit-plane matmuls on the systolic array — DESIGN.md MXU section) or
@@ -215,25 +215,32 @@ def mul_relin(p: FastParams, ct_a, ct_b, hint_b, hint_a):
     L = len(qs)
     a0, a1 = ct_a[..., 0, :, :], ct_a[..., 1, :, :]
     b0, b1 = ct_b[..., 0, :, :], ct_b[..., 1, :, :]
+    # Karatsuba: 3 general mulmods instead of 4 (integer multiplies are the
+    # expensive VPU op on TPU; the extra adds/subs are cheap)
     c0 = mulmod(a0, b0, qs)
-    c1 = _add(mulmod(a0, b1, qs), mulmod(a1, b0, qs), p)
     c2 = mulmod(a1, b1, qs)
+    cross = mulmod(_add(a0, a1, p), _add(b0, b1, p), qs)
+    c1 = _sub(cross, _add(c0, c2, p), p)
     # CRT-gadget digits of c2: coefficients per limb, re-reduced to all limbs
     c2_coeff = _intt_p(p, c2)
     consts = _fast_consts(p)
-    # all digits at once: [..., Ldig, L, n]
-    rows = c2_coeff[..., :, None, :]                      # [..., Ldig, 1, n]
-    bc = jnp.broadcast_to(rows, (*c2_coeff.shape[:-2], L, L, p.n))
-    if p.impl == "mxu":
+    if p.impl == "mxu" and c2_coeff.ndim == 2:
         # the digit-plane matmul computes Σ_b x_b·W[a,b] mod q exactly for
         # ANY uint32 input (planes are ≤ 255 regardless), so the per-limb
         # residues go into the NTT unreduced — the mod-q_j reduction of each
-        # digit happens for free at matmul recombination, skipping a full
-        # elementwise reduction pass over [Ldig, L, n]
-        dig_ntt = _ntt_p(p, bc)
+        # digit happens for free at matmul recombination; and the digit
+        # fan-out across target limbs never materializes: the broadcast NTT
+        # contracts the [Ldig, n] rows against every limb's matrices at once
+        dig_ntt = ntt_mxu_bcast(c2_coeff, p.n, p.qs)      # [Ldig, L, n]
     else:
-        dig = _reduce_u32(bc, consts["q"], consts["r16"], consts["r16s"])
-        dig_ntt = _ntt_p(p, dig)            # one batched NTT
+        # all digits at once: [..., Ldig, L, n]
+        rows = c2_coeff[..., :, None, :]                  # [..., Ldig, 1, n]
+        bc = jnp.broadcast_to(rows, (*c2_coeff.shape[:-2], L, L, p.n))
+        if p.impl == "mxu":
+            dig_ntt = _ntt_p(p, bc)
+        else:
+            dig = _reduce_u32(bc, consts["q"], consts["r16"], consts["r16s"])
+            dig_ntt = _ntt_p(p, dig)        # one batched NTT
     out0, out1 = c0, c1
     q = consts["q"]
     shoup_hints = isinstance(hint_b, (tuple, list))

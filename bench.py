@@ -50,9 +50,14 @@ def _timed_loop(step, state, min_seconds: float = 1.0):
         iters *= 2
 
 
-def bench_on(device, p, rng, min_seconds=1.0, batch: int = 1):
+def bench_on(device, p, rng, min_seconds=1.0, batch: int = 1, chain: int = 1):
+    """Throughput of ct mult+relin. `chain` fuses that many dependent
+    mul_relin ops into ONE jitted XLA program — the north-star deep-circuit
+    shape (BASELINE.json configs[3] is a depth-16 mul chain compiled whole;
+    per-op host dispatch is not part of that workload)."""
     import jax
     import jax.numpy as jnp
+    from functools import partial
     from alchemy_tpu.she import fast
 
     with jax.default_device(device):
@@ -63,12 +68,19 @@ def bench_on(device, p, rng, min_seconds=1.0, batch: int = 1):
         if batch > 1:
             ct1 = jnp.broadcast_to(ct1[None], (batch, *ct1.shape))
             ct2 = jnp.broadcast_to(ct2[None], (batch, *ct2.shape))
-        out = fast.mul_relin(p, ct1, ct2, hb, ha)  # compile + warm
+
+        @partial(jax.jit, static_argnums=0)
+        def step(pp, a, o, b_h, a_h):
+            for _ in range(chain):
+                o = fast.mul_relin(pp, a, o, b_h, a_h)
+            return o
+
+        out = step(p, ct1, ct2, hb, ha)  # compile + warm
         _sync(out)
         ops, per = _timed_loop(
-            lambda o: fast.mul_relin(p, ct1, o, hb, ha), out, min_seconds
+            lambda o: step(p, ct1, o, hb, ha), out, min_seconds
         )
-        return ops * batch, per / batch
+        return ops * batch * chain, per / (batch * chain)
 
 
 def bench_ntt(device, p, min_seconds=1.0):
@@ -94,6 +106,9 @@ def main():
     nlimb = int(os.environ.get("BENCH_NLIMB", "8"))
     secs = float(os.environ.get("BENCH_SECONDS", "2.0"))
     batch = int(os.environ.get("BENCH_BATCH", "1"))
+    # chain>1 fuses dependent ops into one XLA program; measured SLOWER on
+    # the tunneled v5e (buffer pressure beats dispatch savings) — default 1
+    chain = int(os.environ.get("BENCH_CHAIN", "1"))
 
     accel_impl = os.environ.get("BENCH_IMPL", "mxu")
     p = FastParams.make(log_n, nlimb, zp=2, impl=accel_impl)
@@ -105,8 +120,8 @@ def main():
         p = FastParams.make(log_n, nlimb, zp=2, impl="vpu")
     log(f"accelerator: {accel} | ring n=2^{log_n}, limbs={nlimb}, impl={p.impl}")
 
-    ops_accel, per_op = bench_on(accel, p, rng, secs, batch=batch)
-    log(f"mul_relin on {accel.platform} (batch={batch}): "
+    ops_accel, per_op = bench_on(accel, p, rng, secs, batch=batch, chain=chain)
+    log(f"mul_relin on {accel.platform} (batch={batch}, chain={chain}): "
         f"{ops_accel:.2f} ops/s ({per_op*1e3:.3f} ms/op)")
 
     ntt_lat = bench_ntt(accel, p, secs)
@@ -119,7 +134,8 @@ def main():
             from alchemy_tpu.she.fast import FastParams as _FP
 
             p_cpu = _FP.make(log_n, nlimb, zp=2, impl="vpu")
-            ops_cpu, _ = bench_on(cpus[0], p_cpu, np.random.default_rng(0), min(secs, 1.0))
+            ops_cpu, _ = bench_on(cpus[0], p_cpu, np.random.default_rng(0),
+                                  min(secs, 1.0), chain=chain)
             log(f"mul_relin on cpu: {ops_cpu:.2f} ops/s")
             vs = ops_accel / ops_cpu
     except Exception as e:  # CPU backend may be unavailable under the driver

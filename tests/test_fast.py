@@ -186,3 +186,21 @@ def test_cost_table():
 
     table = dict(cost_table(addMul))
     assert table["add_"] == 1 and table["mul_"] == 1
+
+
+def test_ntt_mxu_bcast_matches_broadcast():
+    """The broadcast NTT (stage-1 contraction of un-broadcast digit rows)
+    is bit-identical to ntt_mxu over the materialized [D, L, n] fan-out —
+    including for UNREDUCED uint32 inputs, the relin digit case."""
+    import jax.numpy as jnp
+    from alchemy_tpu.backend.ntt_mxu import ntt_mxu, ntt_mxu_bcast
+
+    p = FastParams.make(8, 3, zp=2)
+    L = len(p.qs)
+    rng = np.random.default_rng(11)
+    # full-range u32 rows (digits enter unreduced)
+    x = rng.integers(0, 1 << 32, (4, p.n), dtype=np.uint64).astype(np.uint32)
+    xd = jnp.asarray(x)
+    got = ntt_mxu_bcast(xd, p.n, p.qs)
+    want = ntt_mxu(jnp.broadcast_to(xd[:, None, :], (4, L, p.n)), p.n, p.qs)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
