@@ -161,6 +161,97 @@ def _digit_planes_runtime(x):
     return planes
 
 
+# ---------------------------------------------------------------------------
+# int8 variant: one s8×s8→s32 einsum contracts ALL FOUR operand digit planes
+# at once (merged contraction axis 4K ≤ 1024; |partial sums| < 2^26, exact in
+# int32), replacing the 16 bf16 plane matmuls with a single 4-plane-output
+# dot. Operands are re-centered to [-128, 127]; the affine correction
+# S_f = dot_f + 128·bytesum(x)[r] + 128·Σ u_{d,f}[a,·] restores the unsigned
+# value (the 128² cross terms cancel between the row and column corrections).
+# On int8-capable MXUs (v5e+: 2× bf16 MAC rate) this roughly halves the
+# matmul cycle cost of every NTT stage.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def mxu_tables8(n: int, qs: tuple[int, ...]):
+    """mxu_tables plus int8-packed matrix planes: for each DFT matrix, a pair
+    (U8 [L, 4f, A, 4K] int8, cc [L, 4f, A] int32) with
+    U8[l, f, a, d·K+k] = V_{d,f}[a,k] − 128 and cc = 128·Σ_{d,k} U8."""
+    t = mxu_tables(n, qs)
+
+    def pack(P):
+        # P: [L, 4d, 4f, A, K] f32 holding byte values 0..255
+        Pt = np.transpose(np.asarray(P, dtype=np.int64), (0, 2, 3, 1, 4))
+        L, F, A, D, K = Pt.shape
+        U = Pt.reshape(L, F, A, D * K) - 128
+        cc = (128 * U.sum(-1)).astype(np.int32)
+        return U.astype(np.int8), cc
+
+    t8 = dict(t)
+    for k in ("W1", "W2", "W1i", "W2i"):
+        t8[k + "_8"] = pack(t[k])
+    return t8
+
+
+def _planes8_runtime(x):
+    """x u32 [..., R, K] → (int8 planes [..., R, 4K] with index d·K+k,
+    byte-sum Σ_{d,k} x_d [..., R] u32)."""
+    K = x.shape[-1]
+    xs = [(x >> np.uint32(8 * d)) & np.uint32(0xFF) for d in range(4)]
+    bsum = jnp.sum(xs[0] + xs[1] + xs[2] + xs[3], axis=-1, dtype=jnp.uint32)
+    x8 = jnp.stack(
+        [(p.astype(jnp.int32) - 128).astype(jnp.int8) for p in xs], axis=-2
+    ).reshape(*x.shape[:-1], 4 * K)
+    return x8, bsum
+
+
+def _recombine_planes(sums, t):
+    """Σ_f S_f·2^(8f) < 2^51 assembled exactly as (lo, hi) u32, one mod-q
+    reduction (shared tail of _matmul_mod / the int8 variants)."""
+    lo = sums[0]
+    hi = jnp.zeros_like(lo)
+    for f in (1, 2, 3):
+        add_lo = sums[f] << np.uint32(8 * f)
+        lo = lo + add_lo
+        carry = (lo < add_lo).astype(jnp.uint32)
+        hi = hi + (sums[f] >> np.uint32(32 - 8 * f)) + carry
+    lored = _reduce_u32g(lo, t["q"], t["r16"], t["r16s"])
+    hired = mulmod_shoup(hi, t["r32"], t["r32s"], t["q"])
+    return _cond_sub(hired + lored, t["q"])
+
+
+def _matmul_mod8(x, W8, t):
+    """int8 modular matmul: x [..., L, R, K] u32 × (U8, cc) packed planes →
+    [..., L, R, K_out] u32 mod q. One s8 einsum over the merged (d, k) axis;
+    exact: |dot| ≤ 128²·4K = 2^26 < 2^31."""
+    U8, cc = W8
+    x8, bsum = _planes8_runtime(x)
+    dot = jnp.einsum(
+        "...lrk,lfak->...lfra", x8, U8, preferred_element_type=jnp.int32
+    )
+    corr = (bsum.astype(jnp.int32) << 7)[..., None, :, None]  # [..., L, 1, R, 1]
+    ccb = jnp.asarray(cc)[:, :, None, :]                      # [L, 4f, 1, A]
+    S = (dot + corr + ccb).astype(jnp.uint32)                 # [..., L, 4f, R, A]
+    sums = [S[..., f, :, :] for f in range(4)]
+    return _recombine_planes(sums, t)
+
+
+def _matmul_mod8_bcast(x, W8, t):
+    """Stage-1 int8 matmul of the broadcast NTT: x [..., D, R, K] u32 shared
+    across limbs × packed planes → [..., D, L, R, K_out] u32."""
+    U8, cc = W8
+    x8, bsum = _planes8_runtime(x)
+    dot = jnp.einsum(
+        "...drk,lfak->...dlfra", x8, U8, preferred_element_type=jnp.int32
+    )
+    corr = (bsum.astype(jnp.int32) << 7)[..., :, None, None, :, None]
+    ccb = jnp.asarray(cc)[:, :, None, :]
+    S = (dot + corr + ccb).astype(jnp.uint32)
+    sums = [S[..., f, :, :] for f in range(4)]
+    return _recombine_planes(sums, t)
+
+
 def _reduce_u32g(v, q, r16, r16s):
     ll, lh = _split(v)
     return _cond_sub(mulmod_shoup(lh, r16, r16s, q) + ll, q)
@@ -188,42 +279,38 @@ def _matmul_mod(x, Wp, t):
             ).astype(jnp.uint32)
             sums[f] = prod if sums[f] is None else sums[f] + prod
     # V = Σ_f S_f·2^(8f) < 2^51: exact 64-bit accumulation in (lo, hi)
-    lo = sums[0]
-    hi = jnp.zeros_like(lo)
-    for f in (1, 2, 3):
-        add_lo = sums[f] << np.uint32(8 * f)
-        lo = lo + add_lo
-        carry = (lo < add_lo).astype(jnp.uint32)
-        hi = hi + (sums[f] >> np.uint32(32 - 8 * f)) + carry
-    lored = _reduce_u32g(lo, q, r16, r16s)
-    hired = mulmod_shoup(hi, t["r32"], t["r32s"], q)  # hi < 2^19
-    return _cond_sub(hired + lored, q)
+    return _recombine_planes(sums, t)
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def ntt_mxu(x, n: int, qs: tuple[int, ...]):
+def _mm(x, key, t, i8: bool):
+    return _matmul_mod8(x, t[key + "_8"], t) if i8 else _matmul_mod(x, t[key], t)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def ntt_mxu(x, n: int, qs: tuple[int, ...], i8: bool = False):
     """Forward negacyclic NTT via MXU matmuls; x [..., L, n] natural order in,
-    (k1, k2) grid order out. The psi pre-twist is folded into W1/tw."""
-    t = mxu_tables(n, qs)
+    (k1, k2) grid order out. The psi pre-twist is folded into W1/tw.
+    i8=True uses the int8 merged-plane matmuls (same values)."""
+    t = mxu_tables8(n, qs) if i8 else mxu_tables(n, qs)
     n1, n2 = t["n1"], t["n2"]
     lead = x.shape[:-2]
     L = x.shape[-2]
     x = x.reshape(*lead, L, n1, n2)
     # DFT over j1: treat j2 as the row axis R → transpose to [..., L, n2, n1]
     x = jnp.swapaxes(x, -1, -2)
-    y = _matmul_mod(x, t["W1"], t)          # [..., L, n2, n1] → k1
+    y = _mm(x, "W1", t, i8)                 # [..., L, n2, n1] → k1
     y = jnp.swapaxes(y, -1, -2)                    # [..., L, k1, j2]
     twv, tws = t["tw"]
     y = mulmod_shoup(y, twv, tws, t["q"])
-    z = _matmul_mod(y, t["W2"], t)          # over j2 → k2: [..., L, k1, k2]
+    z = _mm(y, "W2", t, i8)                 # over j2 → k2: [..., L, k1, k2]
     return z.reshape(*lead, L, n)
 
 
 def _matmul_mod_bcast(x, Wp, t):
-    """Stage-1 matmul of the broadcast NTT: x [D, R, K] u32 (shared across
-    limbs) × scaled planes Wp [L, 4, 4, K_out, K] → [D, L, R, K_out] u32.
-    Same recombination as _matmul_mod; the operand digit planes are extracted
-    from the L-fold-smaller un-broadcast input."""
+    """Stage-1 matmul of the broadcast NTT: x [..., D, R, K] u32 (shared
+    across limbs) × scaled planes Wp [L, 4, 4, K_out, K] → [..., D, L, R,
+    K_out] u32. Same recombination as _matmul_mod; the operand digit planes
+    are extracted from the L-fold-smaller un-broadcast input."""
     q, r16, r16s = t["q"], t["r16"], t["r16s"]
     xp = _digit_planes_runtime(x)
     Wb = Wp.astype(jnp.bfloat16)
@@ -231,54 +318,49 @@ def _matmul_mod_bcast(x, Wp, t):
     for d in range(4):
         for f in range(4):
             prod = jnp.einsum(
-                "drk,lak->dlra", xp[d], Wb[:, d, f],
+                "...drk,lak->...dlra", xp[d], Wb[:, d, f],
                 preferred_element_type=jnp.float32,
             ).astype(jnp.uint32)
             sums[f] = prod if sums[f] is None else sums[f] + prod
-    lo = sums[0]
-    hi = jnp.zeros_like(lo)
-    for f in (1, 2, 3):
-        add_lo = sums[f] << np.uint32(8 * f)
-        lo = lo + add_lo
-        carry = (lo < add_lo).astype(jnp.uint32)
-        hi = hi + (sums[f] >> np.uint32(32 - 8 * f)) + carry
-    lored = _reduce_u32g(lo, q, r16, r16s)
-    hired = mulmod_shoup(hi, t["r32"], t["r32s"], q)
-    return _cond_sub(hired + lored, q)
+    return _recombine_planes(sums, t)
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def ntt_mxu_bcast(x, n: int, qs: tuple[int, ...]):
-    """Forward NTT of each row of x [D, n] under EVERY limb's tables at once:
-    returns [D, L, n]. Equivalent to ntt_mxu(broadcast_to(x[:, None, :],
-    (D, L, n)), n, qs) but stage 1 contracts the un-broadcast input directly
-    (the gadget-digit fan-out of the relinearization hot path: the digit rows
-    are identical across target limbs, so materializing — and re-reading —
-    the [D, L, n] fan-out through stage 1 is pure HBM waste)."""
-    t = mxu_tables(n, qs)
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def ntt_mxu_bcast(x, n: int, qs: tuple[int, ...], i8: bool = False):
+    """Forward NTT of each row of x [..., D, n] under EVERY limb's tables at
+    once: returns [..., D, L, n]. Equivalent to ntt_mxu over the materialized
+    broadcast_to(x[..., None, :], (..., D, L, n)) but stage 1 contracts the
+    un-broadcast input directly (the gadget-digit fan-out of the
+    relinearization hot path: the digit rows are identical across target
+    limbs, so materializing — and re-reading — the [D, L, n] fan-out through
+    stage 1 is pure HBM waste)."""
+    t = mxu_tables8(n, qs) if i8 else mxu_tables(n, qs)
     n1, n2 = t["n1"], t["n2"]
-    D = x.shape[0]
+    lead = x.shape[:-1]
     L = len(qs)
-    xg = jnp.swapaxes(x.reshape(D, n1, n2), -1, -2)    # [D, n2, n1]
-    y = _matmul_mod_bcast(xg, t["W1"], t)              # [D, L, n2, k1]
-    y = jnp.swapaxes(y, -1, -2)                        # [D, L, k1, j2]
+    xg = jnp.swapaxes(x.reshape(*lead, n1, n2), -1, -2)  # [..., D, n2, n1]
+    if i8:
+        y = _matmul_mod8_bcast(xg, t["W1_8"], t)       # [..., D, L, n2, k1]
+    else:
+        y = _matmul_mod_bcast(xg, t["W1"], t)
+    y = jnp.swapaxes(y, -1, -2)                        # [..., D, L, k1, j2]
     twv, tws = t["tw"]
     y = mulmod_shoup(y, twv, tws, t["q"])
-    z = _matmul_mod(y, t["W2"], t)                     # [D, L, k1, k2]
-    return z.reshape(D, L, n)
+    z = _mm(y, "W2", t, i8)                            # [..., D, L, k1, k2]
+    return z.reshape(*lead, L, n)
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def intt_mxu(x, n: int, qs: tuple[int, ...]):
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def intt_mxu(x, n: int, qs: tuple[int, ...], i8: bool = False):
     """Inverse of ntt_mxu ((k1,k2) grid in, natural order out)."""
-    t = mxu_tables(n, qs)
+    t = mxu_tables8(n, qs) if i8 else mxu_tables(n, qs)
     n1, n2 = t["n1"], t["n2"]
     lead = x.shape[:-2]
     L = x.shape[-2]
     x = x.reshape(*lead, L, n1, n2)
-    z = _matmul_mod(x, t["W2i"], t)          # inverse over k2 → j2
+    z = _mm(x, "W2i", t, i8)                 # inverse over k2 → j2
     itwv, itws = t["itw"]
     z = mulmod_shoup(z, itwv, itws, t["q"])
     z = jnp.swapaxes(z, -1, -2)                    # [..., L, j2, k1]
-    y = _matmul_mod(z, t["W1i"], t)          # inverse over k1 → j1 (1/n and
+    y = _mm(z, "W1i", t, i8)                 # inverse over k1 → j1 (1/n and
     return jnp.swapaxes(y, -1, -2).reshape(*lead, L, n)  # psi^-j folded in)

@@ -63,11 +63,15 @@ class FastParams:
 
 
 def _ntt_p(p, x):
-    return ntt_mxu(x, p.n, p.qs) if p.impl == "mxu" else ntt_negacyclic(x, p.n, p.qs)
+    if p.impl == "vpu":
+        return ntt_negacyclic(x, p.n, p.qs)
+    return ntt_mxu(x, p.n, p.qs, p.impl == "mxu8")
 
 
 def _intt_p(p, x):
-    return intt_mxu(x, p.n, p.qs) if p.impl == "mxu" else intt_negacyclic(x, p.n, p.qs)
+    if p.impl == "vpu":
+        return intt_negacyclic(x, p.n, p.qs)
+    return intt_mxu(x, p.n, p.qs, p.impl == "mxu8")
 
 
 def _reduce_u32(v, q, r16, r16s):
@@ -224,23 +228,21 @@ def mul_relin(p: FastParams, ct_a, ct_b, hint_b, hint_a):
     # CRT-gadget digits of c2: coefficients per limb, re-reduced to all limbs
     c2_coeff = _intt_p(p, c2)
     consts = _fast_consts(p)
-    if p.impl == "mxu" and c2_coeff.ndim == 2:
+    if p.impl in ("mxu", "mxu8"):
         # the digit-plane matmul computes Σ_b x_b·W[a,b] mod q exactly for
         # ANY uint32 input (planes are ≤ 255 regardless), so the per-limb
         # residues go into the NTT unreduced — the mod-q_j reduction of each
         # digit happens for free at matmul recombination; and the digit
         # fan-out across target limbs never materializes: the broadcast NTT
-        # contracts the [Ldig, n] rows against every limb's matrices at once
-        dig_ntt = ntt_mxu_bcast(c2_coeff, p.n, p.qs)      # [Ldig, L, n]
+        # contracts the [..., Ldig, n] rows against every limb's matrices at
+        # once (leading batch dims supported)
+        dig_ntt = ntt_mxu_bcast(c2_coeff, p.n, p.qs, p.impl == "mxu8")  # [..., Ldig, L, n]
     else:
         # all digits at once: [..., Ldig, L, n]
         rows = c2_coeff[..., :, None, :]                  # [..., Ldig, 1, n]
         bc = jnp.broadcast_to(rows, (*c2_coeff.shape[:-2], L, L, p.n))
-        if p.impl == "mxu":
-            dig_ntt = _ntt_p(p, bc)
-        else:
-            dig = _reduce_u32(bc, consts["q"], consts["r16"], consts["r16s"])
-            dig_ntt = _ntt_p(p, dig)        # one batched NTT
+        dig = _reduce_u32(bc, consts["q"], consts["r16"], consts["r16s"])
+        dig_ntt = _ntt_p(p, dig)        # one batched NTT
     out0, out1 = c0, c1
     q = consts["q"]
     shoup_hints = isinstance(hint_b, (tuple, list))

@@ -204,3 +204,49 @@ def test_ntt_mxu_bcast_matches_broadcast():
     got = ntt_mxu_bcast(xd, p.n, p.qs)
     want = ntt_mxu(jnp.broadcast_to(xd[:, None, :], (4, L, p.n)), p.n, p.qs)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+    # leading batch dims (the batched-SIMD relin path)
+    xb = rng.integers(0, 1 << 32, (2, 4, p.n), dtype=np.uint64).astype(np.uint32)
+    gotb = ntt_mxu_bcast(jnp.asarray(xb), p.n, p.qs)
+    for b in range(2):
+        one = ntt_mxu_bcast(jnp.asarray(xb[b]), p.n, p.qs)
+        assert np.array_equal(np.asarray(gotb[b]), np.asarray(one))
+
+
+def test_ntt_mxu_int8_bit_identical():
+    """The int8 merged-plane matmul path (i8=True) is bit-identical to the
+    bf16 digit-plane path on forward/inverse/broadcast NTTs, including
+    unreduced u32 inputs, and end-to-end through mul_relin + decrypt."""
+    from alchemy_tpu.backend.ntt_mxu import intt_mxu, ntt_mxu, ntt_mxu_bcast
+
+    p = FastParams.make(8, 3, zp=2)
+    rng = np.random.default_rng(12)
+    x = np.stack([rng.integers(0, q, p.n) for q in p.qs]).astype(np.uint32)
+    xd = jnp.asarray(x)
+    f0, f1 = ntt_mxu(xd, p.n, p.qs, False), ntt_mxu(xd, p.n, p.qs, True)
+    assert np.array_equal(np.asarray(f0), np.asarray(f1))
+    assert np.array_equal(np.asarray(intt_mxu(f1, p.n, p.qs, True)), x)
+    xr = jnp.asarray(
+        rng.integers(0, 1 << 32, (4, p.n), dtype=np.uint64).astype(np.uint32)
+    )
+    assert np.array_equal(
+        np.asarray(ntt_mxu_bcast(xr, p.n, p.qs, False)),
+        np.asarray(ntt_mxu_bcast(xr, p.n, p.qs, True)),
+    )
+    # end-to-end: impl="mxu8" mul_relin decrypts to the plaintext product
+    p8 = FastParams.make(6, 3, zp=2, impl="mxu8")
+    rng = np.random.default_rng(13)
+    s = fast.keygen(p8, rng)
+    hb, ha = fast.relin_hint(p8, s, rng, shoup=True)
+    m1, m2 = rng.integers(0, 2, p8.n), rng.integers(0, 2, p8.n)
+    out = fast.mul_relin(
+        p8,
+        fast.encrypt(p8, s, m1, rng),
+        fast.encrypt(p8, s, m2, rng),
+        hb,
+        ha,
+    )
+    mm = 2 * p8.n
+    c1 = Cyc.from_coeffs(mm, (2,), m1, GB)
+    c2 = Cyc.from_coeffs(mm, (2,), m2, GB)
+    want = GB.to_numpy((c1 * c2).to_pow().data)[0]
+    assert np.array_equal(fast.decrypt(p8, s, out), want)
