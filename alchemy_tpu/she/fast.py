@@ -65,6 +65,8 @@ class FastParams:
 def _ntt_p(p, x):
     if p.impl == "vpu":
         return ntt_negacyclic(x, p.n, p.qs)
+    # "pallas" shares the MXU tables/slot order (bit-identical); only the
+    # fused mul_relin dispatches to the Mosaic kernel
     return ntt_mxu(x, p.n, p.qs, p.impl == "mxu8")
 
 
@@ -206,15 +208,31 @@ def _sub(a, b, p: FastParams):
     return jnp.where(a >= b, a - b, a + q - b)
 
 
-@partial(jax.jit, static_argnums=0)
 def mul_relin(p: FastParams, ct_a, ct_b, hint_b, hint_a):
     """Fused BGV multiply + relinearize: [..., 2, L, n] × [..., 2, L, n] →
     [..., 2, L, n] (leading batch dims supported; vmap-free batching).
 
     Inputs/outputs in the NTT domain at the full chain. Hints are either raw
     values [L, L, n] (general mulmod applied) or Shoup-precomputed pairs
-    (values, companions) from `relin_hint(..., shoup=True)` — the fast path.
+    (values, companions) from `relin_hint(..., shoup=True)` — the fast path
+    for the jnp formulation. With impl="pallas" (and an unbatched ct whose
+    MXU split has n2 % 128 == 0, i.e. n ≥ 2^14) the whole op runs as the
+    fused VMEM-resident Mosaic kernel (backend/pallas/mul_relin_pallas.py,
+    raw hints), bit-identical to the jnp path.
     """
+    if p.impl == "pallas" and ct_a.ndim == 3:
+        from alchemy_tpu.backend.ntt_mxu import mxu_tables
+        from alchemy_tpu.backend.pallas.mul_relin_pallas import mul_relin_pallas
+
+        if mxu_tables(p.n, p.qs)["n2"] % 128 == 0:
+            hb = hint_b[0] if isinstance(hint_b, (tuple, list)) else hint_b
+            ha = hint_a[0] if isinstance(hint_a, (tuple, list)) else hint_a
+            return mul_relin_pallas(p, ct_a, ct_b, hb, ha)
+    return _mul_relin_jnp(p, ct_a, ct_b, hint_b, hint_a)
+
+
+@partial(jax.jit, static_argnums=0)
+def _mul_relin_jnp(p: FastParams, ct_a, ct_b, hint_b, hint_a):
     qs = p.qs
     L = len(qs)
     a0, a1 = ct_a[..., 0, :, :], ct_a[..., 1, :, :]
@@ -228,7 +246,7 @@ def mul_relin(p: FastParams, ct_a, ct_b, hint_b, hint_a):
     # CRT-gadget digits of c2: coefficients per limb, re-reduced to all limbs
     c2_coeff = _intt_p(p, c2)
     consts = _fast_consts(p)
-    if p.impl in ("mxu", "mxu8"):
+    if p.impl in ("mxu", "mxu8", "pallas"):
         # the digit-plane matmul computes Σ_b x_b·W[a,b] mod q exactly for
         # ANY uint32 input (planes are ≤ 255 regardless), so the per-limb
         # residues go into the NTT unreduced — the mod-q_j reduction of each

@@ -62,7 +62,9 @@ def bench_on(device, p, rng, min_seconds=1.0, batch: int = 1, chain: int = 1):
 
     with jax.default_device(device):
         s = fast.keygen(p, rng)
-        hb, ha = fast.relin_hint(p, s, rng, shoup=True)
+        # the Mosaic kernel streams raw hints (no Shoup companion doubling
+        # of the HBM hint read); the jnp path prefers Shoup pairs
+        hb, ha = fast.relin_hint(p, s, rng, shoup=p.impl != "pallas")
         ct1 = fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
         ct2 = fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
         if batch > 1:
@@ -100,6 +102,11 @@ def bench_ntt(device, p, min_seconds=1.0):
 
 def main():
     import jax
+
+    # persistent compile cache: the axon remote-compile helper is slow for
+    # cold programs; repeated driver runs should not pay it twice
+    jax.config.update("jax_compilation_cache_dir", "/tmp/alchemy_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from alchemy_tpu.she.fast import FastParams
 
     log_n = int(os.environ.get("BENCH_LOG_N", "15"))
@@ -110,7 +117,9 @@ def main():
     # the tunneled v5e (buffer pressure beats dispatch savings) — default 1
     chain = int(os.environ.get("BENCH_CHAIN", "1"))
 
-    accel_impl = os.environ.get("BENCH_IMPL", "mxu")
+    # default on an accelerator: the fused Mosaic kernel (falls back to the
+    # jnp MXU formulation where the kernel's tiling constraints don't hold)
+    accel_impl = os.environ.get("BENCH_IMPL", "pallas")
     p = FastParams.make(log_n, nlimb, zp=2, impl=accel_impl)
     rng = np.random.default_rng(0)
 

@@ -1,10 +1,10 @@
-"""Pallas fused 4-step NTT kernel: logic validation in interpreter mode
-(bit-identical to the jnp MXU path).
+"""Pallas kernels (fused 4-step NTT, fused mul+relin): logic validation in
+interpreter mode on CPU (bit-identical to the jnp MXU path).
 
-Native Mosaic execution is unavailable through the tunneled 'axon' TPU
-platform used in this environment (even trivial pallas_call hangs); on a
-directly-attached TPU the same kernels run natively. Set
-ALCHEMY_PALLAS_NATIVE=1 to exercise the native path.
+The native Mosaic path runs on the real TPU (exercised by bench.py with
+impl="pallas" and by scripts/verify_device.py); the suite itself is
+CPU-pinned (conftest.py), so set ALCHEMY_PALLAS_NATIVE=1 on a TPU-visible
+session to run the native tests too.
 """
 
 import os
@@ -63,3 +63,65 @@ def test_pallas_ntt_native():
     y = ntt_pallas(xd, p.n, p.qs)
     assert np.array_equal(np.asarray(y), np.asarray(ntt_mxu(xd, p.n, p.qs)))
     assert np.array_equal(np.asarray(intt_pallas(y, p.n, p.qs)), x)
+
+
+def _patch_interpret_mr(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    import alchemy_tpu.backend.pallas.mul_relin_pallas as mrk
+    import alchemy_tpu.backend.pallas.ntt_pallas as npk
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(npk.pl, "pallas_call", patched)
+    monkeypatch.setattr(mrk.pl, "pallas_call", patched)
+    return mrk
+
+
+def test_pallas_mul_relin_interpret_bit_identical(monkeypatch):
+    mrk = _patch_interpret_mr(monkeypatch)
+    from alchemy_tpu.she import fast
+    from alchemy_tpu.she.fast import FastParams
+
+    p = FastParams.make(10, 3, impl="mxu")
+    rng = np.random.default_rng(0)
+    s = fast.keygen(p, rng)
+    hb, ha = fast.relin_hint(p, s, rng)
+    ct1 = fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
+    ct2 = fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
+    ref = fast.mul_relin(p, ct1, ct2, hb, ha)
+    out = mrk.mul_relin_pallas(p, ct1, ct2, hb, ha)
+    assert np.array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_fast_impl_pallas_dispatch_and_decrypt(monkeypatch):
+    """impl="pallas" routes through the fused kernel (interpret mode here)
+    and the product still decrypts to the plaintext product."""
+    mrk = _patch_interpret_mr(monkeypatch)
+    from alchemy_tpu.she import fast
+    from alchemy_tpu.she.fast import FastParams
+
+    p = FastParams.make(10, 3, impl="pallas")
+    rng = np.random.default_rng(1)
+    s = fast.keygen(p, rng)
+    hb, ha = fast.relin_hint(p, s, rng)
+    m1 = rng.integers(0, p.zp, p.n)
+    m2 = rng.integers(0, p.zp, p.n)
+    ct1 = fast.encrypt(p, s, m1, rng)
+    ct2 = fast.encrypt(p, s, m2, rng)
+    out = fast.mul_relin(p, ct1, ct2, hb, ha)
+    got = fast.decrypt(p, s, out)
+    # negacyclic product of the plaintexts mod zp
+    import numpy as _np
+    n = p.n
+    ref = _np.zeros(n, dtype=_np.int64)
+    for i, c in enumerate(m1):
+        if c == 0:
+            continue
+        ref[i:] += c * m2[: n - i]
+        ref[: i] -= c * m2[n - i:]
+    assert _np.array_equal(got, ref % p.zp)
