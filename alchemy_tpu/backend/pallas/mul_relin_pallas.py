@@ -1,32 +1,36 @@
 """Pallas TPU kernel: fused BGV ciphertext multiply + relinearization.
 
 The jnp/XLA formulation of the hot op (she/fast.py mul_relin) is HBM-bound:
-of ~430 us device time at the north-star config (n=2^15, L=8) only ~55 us is
-MXU matmuls — the rest is elementwise fusions shuttling the [D, L, n] digit
-tensor, its bf16 digit planes, and the plane sums through HBM between XLA
-fusions. This kernel keeps the whole relinearization dataflow VMEM-resident:
+of ~430 us device time at the north-star config (n=2^15, L=8) only a small
+fraction is MXU matmuls — the rest is elementwise fusions shuttling the
+[D, L, n] digit tensor, its bf16 digit planes, and the plane sums through
+HBM between XLA fusions. These kernels keep the whole relinearization
+dataflow VMEM-resident AND use the 3-factor NTT (backend/ntt_mxu3.py:
+n = 128·128·r, r ∈ {1, 2}) whose MXU cost is n·256 base MACs per limb
+transform vs n·384 for the 2-factor split at 2^15:
 
-  kernel A (grid over limbs d):  c0/c1/c2 tensor product (Karatsuba-free
-      general modmuls — exact canonical residues, so bit-identical to the
-      jnp path regardless of association) and the inverse NTT of c2 to
-      coefficients, one limb per program.
-  kernel B (grid over output limbs l): for each gadget digit d (= limb d of
-      the c2 coefficients, entering UNREDUCED mod q_l — the digit-plane
-      matmul reduces any uint32 exactly at recombination, DESIGN.md), the
-      forward NTT under limb l's tables, the hint products, and the
-      accumulation into (out0, out1) all happen in VMEM; HBM sees each hint
-      slice exactly once (raw u32 values — no Shoup companion stream, the
-      general in-VMEM modmul is cheaper than doubling the hint read).
+  kernel A (grid over limbs d):  c0/c1/c2 tensor product (general modmuls —
+      exact canonical residues, so bit-identical to the jnp path regardless
+      of association) and the inverse NTT of c2 to coefficients, one limb
+      per program.
+  kernel B (grid over output limbs l): stage 1 of the forward NTT runs for
+      ALL gadget digits as ONE wide dot ([128,128] @ [128, D·B·r] — digits
+      enter UNREDUCED mod q_l; the digit-plane matmul reduces any uint32
+      exactly at recombination, DESIGN.md); the twiddle, radix-r butterfly,
+      per-k3 stage-3 dots, hint products, and accumulation into (out0,
+      out1) never leave VMEM; HBM sees each hint slice exactly once (raw
+      u32 — no Shoup companion stream, the in-VMEM general modmul is
+      cheaper than doubling the hint read).
 
 Semantics identical to she/fast.py mul_relin (reference: the key-switch /
 relinearization dataflow of SymmSHE `keySwitchQuadCirc`, consumed at
 /root/reference Crypto/Alchemy/Interpreter/Eval.hs:126,133); outputs are
-bit-identical to the jnp MXU path (tests/test_pallas.py).
+bit-identical to the jnp 3-factor path (impl="pallas"; tests/test_pallas.py).
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -34,11 +38,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from alchemy_tpu.backend.ntt_mxu3 import mxu3_tables
 from alchemy_tpu.backend.pallas.ntt_pallas import (
     _M16,
     _mod_matmul,
-    _mulhi,
-    _pallas_tables,
     _planes,
     _reduce_u32,
     _shoup,
@@ -73,10 +76,42 @@ def _submod(a, b, q):
     return jnp.where(a >= b, a - b, a + q - b)
 
 
+@lru_cache(maxsize=None)
+def _pallas3_tables(n: int, qs: tuple[int, ...]):
+    """Host bf16/u32 tables for the 3-factor kernels (cached numpy)."""
+    t = mxu3_tables(n, qs)
+    if t["r"] not in (1, 2):
+        raise ValueError(f"pallas mul_relin supports r in (1, 2); n={n}")
+    L = len(qs)
+    scal = np.zeros((L, 5), dtype=np.uint32)
+    scal[:, 0] = t["q"][:, 0, 0]
+    scal[:, 1] = t["r16"][:, 0, 0]
+    scal[:, 2] = t["r16s"][:, 0, 0]
+    scal[:, 3] = t["r32"][:, 0, 0]
+    scal[:, 4] = t["r32s"][:, 0, 0]
+
+    import ml_dtypes
+
+    def bf16(planes):
+        return np.ascontiguousarray(planes.astype(ml_dtypes.bfloat16))
+
+    return {
+        "A": t["A"], "B": t["B"], "r": t["r"],
+        "scal": scal,
+        # W2/W2i are symmetric (u^{ab}); right-dots use them untransposed
+        "w1": bf16(t["W1"]), "w1i": bf16(t["W1i"]),
+        "w2": bf16(t["W2"]), "w2i": bf16(t["W2i"]),
+        "T": t["T"][0], "T_s": t["T"][1],
+        "Ti": t["Ti"][0], "Ti_s": t["Ti"][1],
+        "tb": t["tb"][0], "tb_s": t["tb"][1],
+        "tbi": t["tbi"][0], "tbi_s": t["tbi"][1],
+    }
+
+
 def _tensor_intt_kernel(scalars_ref, a0_ref, a1_ref, b0_ref, b1_ref,
-                        w2it_ref, itw_ref, itw_s_ref, w1i_ref,
-                        c0_ref, c1_ref, c2c_ref):
-    """Per-limb tensor product (c0, c1) and iNTT(c2) → coefficients."""
+                        w2i_ref, tbi_ref, tbi_s_ref, ti_ref, ti_s_ref,
+                        w1i_ref, c0_ref, c1_ref, c2c_ref, *, r: int, B: int):
+    """Per-limb tensor product (c0, c1) and 3-factor iNTT(c2)."""
     l = pl.program_id(0)
     q = scalars_ref[l, 0]
     r16 = scalars_ref[l, 1]
@@ -92,30 +127,33 @@ def _tensor_intt_kernel(scalars_ref, a0_ref, a1_ref, b0_ref, b1_ref,
     c1 = _submod(cross, _addmod(c0, c2, q), q)
     c0_ref[0] = c0
     c1_ref[0] = c1
-    # inverse NTT of c2 ((k1,k2) grid in, natural (j1,j2) out)
-    z = _mod_matmul(_planes(c2),
-                    [[w2it_ref[0, d, f] for f in range(4)] for d in range(4)],
-                    q, r16, r16s, r32, r32s, left=False)
-    z = _shoup(z, itw_ref[0], itw_s_ref[0], q)
-    y = _mod_matmul(_planes(z),
-                    [[w1i_ref[0, d, f] for f in range(4)] for d in range(4)],
-                    q, r16, r16s, r32, r32s, left=True)
-    n2 = y.shape[1]
-    c2c_ref[:, pl.ds(l * n2, n2)] = y
+    w2i = [[w2i_ref[0, d, f] for f in range(4)] for d in range(4)]
+    w1i = [[w1i_ref[0, d, f] for f in range(4)] for d in range(4)]
+    # undo stage 3 per k3 block, then the small twiddle on k3 >= 1
+    blocks = []
+    for k3 in range(r):
+        b = _mod_matmul(_planes(c2[:, k3 * B:(k3 + 1) * B]), w2i,
+                        q, r16, r16s, r32, r32s, left=False)
+        if k3 > 0:
+            b = _shoup(b, tbi_ref[0, k3:k3 + 1, :], tbi_s_ref[0, k3:k3 + 1, :], q)
+        blocks.append(b)
+    # undo DFT_r (r <= 2: plain sum/difference)
+    if r == 2:
+        blocks = [_addmod(blocks[0], blocks[1], q),
+                  _submod(blocks[0], blocks[1], q)]
+    # inverse big twiddle + inverse stage 1, per j3 block (the left dot
+    # distributes over column blocks — no lane concat needed)
+    for j3 in range(r):
+        y = _shoup(blocks[j3], ti_ref[0][:, j3 * B:(j3 + 1) * B],
+                   ti_s_ref[0][:, j3 * B:(j3 + 1) * B], q)
+        z = _mod_matmul(_planes(y), w1i, q, r16, r16s, r32, r32s, left=True)
+        c2c_ref[:, pl.ds(l * (r * B) + j3 * B, B)] = z
 
 
-def _digit_relin_kernel(ndig_ref, scalars_ref, c2c_ref, c0_ref, c1_ref,
-                        w1_ref, tw_ref, tw_s_ref, w2t_ref,
-                        hb_ref, ha_ref, out_ref, *, ndig: int):
-    """Per-output-limb digit NTTs + hint inner product, VMEM-resident.
-
-    All `ndig` digits go through each matmul stage as ONE wide dot so the
-    MXU runs at full tilt: stage 1 contracts j1 with the digit axis packed
-    into the columns ([n1, n1] @ [n1, D·n2]); stage 2 contracts j2 with the
-    digit axis packed into the rows ([D·n1, n2] @ [n2, n2]); the (cols →
-    rows) digit move between stages is a VMEM-local axis swap. Digit planes
-    are extracted once per output limb for the whole digit block."""
-    del ndig_ref
+def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref,
+                        w1_ref, t_ref, t_s_ref, tb_ref, tb_s_ref, w2_ref,
+                        hb_ref, ha_ref, out_ref, *, ndig: int, r: int, B: int):
+    """Per-output-limb forward digit NTTs + hint inner product."""
     l = pl.program_id(0)
     q = scalars_ref[l, 0]
     r16 = scalars_ref[l, 1]
@@ -123,24 +161,38 @@ def _digit_relin_kernel(ndig_ref, scalars_ref, c2c_ref, c0_ref, c1_ref,
     r32 = scalars_ref[l, 3]
     r32s = scalars_ref[l, 4]
     w1 = [[w1_ref[0, d, f] for f in range(4)] for d in range(4)]
-    w2t = [[w2t_ref[0, d, f] for f in range(4)] for d in range(4)]
-    tw, tws = tw_ref[0], tw_s_ref[0]
+    w2 = [[w2_ref[0, d, f] for f in range(4)] for d in range(4)]
     D = ndig
-    n1 = c2c_ref.shape[0]
-    n2 = c2c_ref.shape[1] // D
-    # c2c arrives digit-major in the lane axis (n1, D·n2): all D digits go
-    # through the j1 contraction as ONE wide dot ([n1,n1] @ [n1, D·n2])
-    x = c2c_ref[...]
-    y = _mod_matmul(_planes(x), w1, q, r16, r16s, r32, r32s, left=True)
-    out0 = c0_ref[0]
-    out1 = c1_ref[0]
+    Br = r * B
+    # stage 1 for ALL digits at once: [A, A] @ [A, D·B·r]
+    y = _mod_matmul(_planes(c2c_ref[...]), w1, q, r16, r16s, r32, r32s,
+                    left=True)
+    out_blocks = [[c0_ref[0][:, k3 * B:(k3 + 1) * B] for k3 in range(r)],
+                  [c1_ref[0][:, k3 * B:(k3 + 1) * B] for k3 in range(r)]]
     for d in range(D):
-        yd = _shoup(y[:, d * n2:(d + 1) * n2], tw, tws, q)
-        zd = _mod_matmul(_planes(yd), w2t, q, r16, r16s, r32, r32s, left=False)
-        out0 = _addmod(out0, _mulmod_gen(zd, hb_ref[d, 0], q, r16, r16s, r32, r32s), q)
-        out1 = _addmod(out1, _mulmod_gen(zd, ha_ref[d, 0], q, r16, r16s, r32, r32s), q)
-    out_ref[0, 0] = out0
-    out_ref[1, 0] = out1
+        yd = _shoup(y[:, d * Br:(d + 1) * Br], t_ref[0], t_s_ref[0], q)
+        if r == 2:
+            lo, hi = yd[:, :B], yd[:, B:]
+            blocks = [_addmod(lo, hi, q), _submod(lo, hi, q)]
+        else:
+            blocks = [yd]
+        for k3 in range(r):
+            b = blocks[k3]
+            if k3 > 0:
+                b = _shoup(b, tb_ref[0, k3:k3 + 1, :], tb_s_ref[0, k3:k3 + 1, :], q)
+            z = _mod_matmul(_planes(b), w2, q, r16, r16s, r32, r32s,
+                            left=False)
+            hb = hb_ref[d, 0][:, k3 * B:(k3 + 1) * B]
+            ha = ha_ref[d, 0][:, k3 * B:(k3 + 1) * B]
+            out_blocks[0][k3] = _addmod(
+                out_blocks[0][k3],
+                _mulmod_gen(z, hb, q, r16, r16s, r32, r32s), q)
+            out_blocks[1][k3] = _addmod(
+                out_blocks[1][k3],
+                _mulmod_gen(z, ha, q, r16, r16s, r32, r32s), q)
+    for k3 in range(r):
+        out_ref[0, 0, :, k3 * B:(k3 + 1) * B] = out_blocks[0][k3]
+        out_ref[1, 0, :, k3 * B:(k3 + 1) * B] = out_blocks[1][k3]
 
 
 def _limb_spec(shape):
@@ -155,13 +207,15 @@ def _full_spec(shape):
 
 @partial(jax.jit, static_argnums=(0,))
 def mul_relin_pallas(p, ct_a, ct_b, hint_b, hint_a):
-    """Fused multiply+relinearize, [2, L, n] cts (NTT domain), raw u32 hints
-    [L, L, n]. Bit-identical to she/fast.mul_relin on the same inputs."""
+    """Fused multiply+relinearize, [2, L, n] cts (3-factor NTT domain), raw
+    u32 hints [L, L, n]. Bit-identical to she/fast.mul_relin with
+    impl="pallas" on the same inputs."""
     n, qs = p.n, p.qs
     L = len(qs)
-    t = _pallas_tables(n, qs)
-    n1, n2 = t["n1"], t["n2"]
-    g = (L, n1, n2)
+    t = _pallas3_tables(n, qs)
+    A, B, r = t["A"], t["B"], t["r"]
+    Br = B * r
+    g = (L, A, Br)
     a0 = ct_a[0].reshape(g)
     a1 = ct_a[1].reshape(g)
     b0 = ct_b[0].reshape(g)
@@ -169,48 +223,49 @@ def mul_relin_pallas(p, ct_a, ct_b, hint_b, hint_a):
     smem = pl.BlockSpec((L, 5), lambda l: (0, 0), memory_space=pltpu.SMEM)
 
     c0, c1, c2c = pl.pallas_call(
-        _tensor_intt_kernel,
+        partial(_tensor_intt_kernel, r=r, B=B),
         grid=(L,),
         in_specs=[
             smem,
-            _limb_spec((n1, n2)), _limb_spec((n1, n2)),
-            _limb_spec((n1, n2)), _limb_spec((n1, n2)),
-            _limb_spec((4, 4, n2, n2)),
-            _limb_spec((n1, n2)), _limb_spec((n1, n2)),
-            _limb_spec((4, 4, n1, n1)),
+            _limb_spec((A, Br)), _limb_spec((A, Br)),
+            _limb_spec((A, Br)), _limb_spec((A, Br)),
+            _limb_spec((4, 4, B, B)),
+            _limb_spec((r, B)), _limb_spec((r, B)),
+            _limb_spec((A, Br)), _limb_spec((A, Br)),
+            _limb_spec((4, 4, A, A)),
         ],
         out_specs=[
-            _limb_spec((n1, n2)), _limb_spec((n1, n2)),
-            _full_spec((n1, L * n2)),
+            _limb_spec((A, Br)), _limb_spec((A, Br)),
+            _full_spec((A, L * Br)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(g, jnp.uint32),
             jax.ShapeDtypeStruct(g, jnp.uint32),
-            jax.ShapeDtypeStruct((n1, L * n2), jnp.uint32),
+            jax.ShapeDtypeStruct((A, L * Br), jnp.uint32),
         ],
-    )(t["scal"], a0, a1, b0, b1, t["w2it"], t["itw"], t["itw_s"], t["w1i"])
+    )(t["scal"], a0, a1, b0, b1, t["w2i"], t["tbi"], t["tbi_s"],
+      t["Ti"], t["Ti_s"], t["w1i"])
 
-    # hints arrive [D, L, n]; slice per output limb l → block (D, 1, n1, n2)
-    hb = hint_b.reshape(L, L, n1, n2)
-    ha = hint_a.reshape(L, L, n1, n2)
-    dig_spec = pl.BlockSpec((L, 1, n1, n2), lambda l: (0, l, 0, 0),
+    hb = hint_b.reshape(L, L, A, Br)
+    ha = hint_a.reshape(L, L, A, Br)
+    dig_spec = pl.BlockSpec((L, 1, A, Br), lambda l: (0, l, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        partial(_digit_relin_kernel, ndig=L),
+        partial(_digit_relin_kernel, ndig=L, r=r, B=B),
         grid=(L,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # dummy scalar (keeps sig stable)
             smem,
-            _full_spec((n1, L * n2)),                # all digit coefficient rows
-            _limb_spec((n1, n2)), _limb_spec((n1, n2)),
-            _limb_spec((4, 4, n1, n1)),
-            _limb_spec((n1, n2)), _limb_spec((n1, n2)),
-            _limb_spec((4, 4, n2, n2)),
+            _full_spec((A, L * Br)),                 # all digit coefficients
+            _limb_spec((A, Br)), _limb_spec((A, Br)),
+            _limb_spec((4, 4, A, A)),
+            _limb_spec((A, Br)), _limb_spec((A, Br)),
+            _limb_spec((r, B)), _limb_spec((r, B)),
+            _limb_spec((4, 4, B, B)),
             dig_spec, dig_spec,
         ],
-        out_specs=pl.BlockSpec((2, 1, n1, n2), lambda l: (0, l, 0, 0),
+        out_specs=pl.BlockSpec((2, 1, A, Br), lambda l: (0, l, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, L, n1, n2), jnp.uint32),
-    )(np.zeros((1,), np.int32), t["scal"], c2c, c0, c1,
-      t["w1"], t["tw"], t["tw_s"], t["w2t"], hb, ha)
+        out_shape=jax.ShapeDtypeStruct((2, L, A, Br), jnp.uint32),
+    )(t["scal"], c2c, c0, c1, t["w1"], t["T"], t["T_s"],
+      t["tb"], t["tb_s"], t["w2"], hb, ha)
     return out.reshape(2, L, n)

@@ -25,6 +25,7 @@ import numpy as np
 
 from alchemy_tpu.backend.ntt import intt_negacyclic, ntt_negacyclic
 from alchemy_tpu.backend.ntt_mxu import intt_mxu, ntt_mxu, ntt_mxu_bcast
+from alchemy_tpu.backend.ntt_mxu3 import intt_mxu3, ntt_mxu3, ntt_mxu3_bcast
 
 #: default NTT implementation for the fused fast path: "mxu" (4-step bf16
 #: digit-plane matmuls on the systolic array — DESIGN.md MXU section) or
@@ -56,6 +57,7 @@ class FastParams:
     def make(log_n: int, nlimb: int, zp: int = 2, bits: int = 30,
              impl: str = DEFAULT_NTT_IMPL) -> "FastParams":
         n = 1 << log_n
+
         qs: list[int] = []
         while len(qs) < nlimb:
             qs.append(find_ntt_prime(2 * n, bits, avoid=tuple(qs)))
@@ -65,14 +67,18 @@ class FastParams:
 def _ntt_p(p, x):
     if p.impl == "vpu":
         return ntt_negacyclic(x, p.n, p.qs)
-    # "pallas" shares the MXU tables/slot order (bit-identical); only the
-    # fused mul_relin dispatches to the Mosaic kernel
+    if p.impl == "pallas":
+        # the fused Mosaic kernels use the 3-factor slot order; every
+        # transform in this FastParams must agree with it
+        return ntt_mxu3(x, p.n, p.qs)
     return ntt_mxu(x, p.n, p.qs, p.impl == "mxu8")
 
 
 def _intt_p(p, x):
     if p.impl == "vpu":
         return intt_negacyclic(x, p.n, p.qs)
+    if p.impl == "pallas":
+        return intt_mxu3(x, p.n, p.qs)
     return intt_mxu(x, p.n, p.qs, p.impl == "mxu8")
 
 
@@ -220,14 +226,13 @@ def mul_relin(p: FastParams, ct_a, ct_b, hint_b, hint_a):
     fused VMEM-resident Mosaic kernel (backend/pallas/mul_relin_pallas.py,
     raw hints), bit-identical to the jnp path.
     """
-    if p.impl == "pallas" and ct_a.ndim == 3:
-        from alchemy_tpu.backend.ntt_mxu import mxu_tables
+    if p.impl == "pallas" and ct_a.ndim == 3 and p.n % 16384 == 0 \
+            and p.n // 16384 in (1, 2):
         from alchemy_tpu.backend.pallas.mul_relin_pallas import mul_relin_pallas
 
-        if mxu_tables(p.n, p.qs)["n2"] % 128 == 0:
-            hb = hint_b[0] if isinstance(hint_b, (tuple, list)) else hint_b
-            ha = hint_a[0] if isinstance(hint_a, (tuple, list)) else hint_a
-            return mul_relin_pallas(p, ct_a, ct_b, hb, ha)
+        hb = hint_b[0] if isinstance(hint_b, (tuple, list)) else hint_b
+        ha = hint_a[0] if isinstance(hint_a, (tuple, list)) else hint_a
+        return mul_relin_pallas(p, ct_a, ct_b, hb, ha)
     return _mul_relin_jnp(p, ct_a, ct_b, hint_b, hint_a)
 
 
@@ -254,7 +259,10 @@ def _mul_relin_jnp(p: FastParams, ct_a, ct_b, hint_b, hint_a):
         # fan-out across target limbs never materializes: the broadcast NTT
         # contracts the [..., Ldig, n] rows against every limb's matrices at
         # once (leading batch dims supported)
-        dig_ntt = ntt_mxu_bcast(c2_coeff, p.n, p.qs, p.impl == "mxu8")  # [..., Ldig, L, n]
+        if p.impl == "pallas":
+            dig_ntt = ntt_mxu3_bcast(c2_coeff, p.n, p.qs)  # [..., Ldig, L, n]
+        else:
+            dig_ntt = ntt_mxu_bcast(c2_coeff, p.n, p.qs, p.impl == "mxu8")
     else:
         # all digits at once: [..., Ldig, L, n]
         rows = c2_coeff[..., :, None, :]                  # [..., Ldig, 1, n]

@@ -87,13 +87,15 @@ def test_pallas_mul_relin_interpret_bit_identical(monkeypatch):
     from alchemy_tpu.she import fast
     from alchemy_tpu.she.fast import FastParams
 
-    p = FastParams.make(10, 3, impl="mxu")
+    p = FastParams.make(10, 3, impl="pallas")
     rng = np.random.default_rng(0)
     s = fast.keygen(p, rng)
     hb, ha = fast.relin_hint(p, s, rng)
     ct1 = fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
     ct2 = fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
-    ref = fast.mul_relin(p, ct1, ct2, hb, ha)
+    # the jnp 3-factor formulation is the reference for the Mosaic kernel
+    # (same slot order; both must agree bit-for-bit)
+    ref = fast._mul_relin_jnp(p, ct1, ct2, hb, ha)
     out = mrk.mul_relin_pallas(p, ct1, ct2, hb, ha)
     assert np.array_equal(np.asarray(ref), np.asarray(out))
 
