@@ -151,6 +151,8 @@ def mxu3_tables(n: int, qs: tuple[int, ...]):
         "A": A, "B": B, "r": r,
         "W1": planes(W1), "W1i": planes(W1i),
         "W2": planes(W2), "W2i": planes(W2i),
+        "W2_raw": W2, "W2i_raw": W2i,
+        "tb_raw": tb, "tbi_raw": tbi,
         "T": (T, T_s), "Ti": (Ti, Ti_s),
         "tb": (tb, tb_s), "tbi": (tbi, tbi_s),
         "urth": (urth, urth_s), "urth_i": (urth_i, urth_is),

@@ -95,23 +95,39 @@ def _pallas3_tables(n: int, qs: tuple[int, ...]):
     def bf16(planes):
         return np.ascontiguousarray(planes.astype(ml_dtypes.bfloat16))
 
+    # fold the small k3-twiddles into the stage-3 matrices: forward
+    # M_k3[j2, k2] = tb[k3, j2]·W2[j2, k2] (diagonal on the contraction
+    # index), inverse Mi_k3[k2, j2] = W2i[k2, j2]·tbi[k3, j2] (diagonal on
+    # the output index) — one fewer sequential VPU step per block
+    from alchemy_tpu.backend.ntt_mxu import scaled_planes as _sp
+    L = len(qs)
+    r = t["r"]
+    w2f, w2if = [], []
+    for k3 in range(r):
+        fwd, inv = [], []
+        for li, q in enumerate(qs):
+            tb = t["tb_raw"][li, k3].astype(np.int64)
+            tbi = t["tbi_raw"][li, k3].astype(np.int64)
+            fwd.append(_sp((tb[:, None] * t["W2_raw"][li]) % q, q))
+            inv.append(_sp((t["W2i_raw"][li] * tbi[None, :]) % q, q))
+        w2f.append(bf16(np.stack(fwd)))
+        w2if.append(bf16(np.stack(inv)))
     return {
-        "A": t["A"], "B": t["B"], "r": t["r"],
+        "A": t["A"], "B": t["B"], "r": r,
         "scal": scal,
-        # W2/W2i are symmetric (u^{ab}); right-dots use them untransposed
         "w1": bf16(t["W1"]), "w1i": bf16(t["W1i"]),
-        "w2": bf16(t["W2"]), "w2i": bf16(t["W2i"]),
+        "w2f": w2f, "w2if": w2if,    # lists over k3: [L, 4, 4, B, B]
         "T": t["T"][0], "T_s": t["T"][1],
         "Ti": t["Ti"][0], "Ti_s": t["Ti"][1],
-        "tb": t["tb"][0], "tb_s": t["tb"][1],
-        "tbi": t["tbi"][0], "tbi_s": t["tbi"][1],
     }
 
 
 def _tensor_intt_kernel(scalars_ref, a0_ref, a1_ref, b0_ref, b1_ref,
-                        w2i_ref, tbi_ref, tbi_s_ref, ti_ref, ti_s_ref,
-                        w1i_ref, c0_ref, c1_ref, c2c_ref, *, r: int, B: int):
+                        *rest_refs, r: int, B: int):
     """Per-limb tensor product (c0, c1) and 3-factor iNTT(c2)."""
+    w2if_refs = rest_refs[:r]
+    ti_ref, ti_s_ref, w1i_ref = rest_refs[r], rest_refs[r + 1], rest_refs[r + 2]
+    c0_ref, c1_ref, c2c_ref = rest_refs[r + 3], rest_refs[r + 4], rest_refs[r + 5]
     l = pl.program_id(0)
     q = scalars_ref[l, 0]
     r16 = scalars_ref[l, 1]
@@ -127,15 +143,13 @@ def _tensor_intt_kernel(scalars_ref, a0_ref, a1_ref, b0_ref, b1_ref,
     c1 = _submod(cross, _addmod(c0, c2, q), q)
     c0_ref[0] = c0
     c1_ref[0] = c1
-    w2i = [[w2i_ref[0, d, f] for f in range(4)] for d in range(4)]
     w1i = [[w1i_ref[0, d, f] for f in range(4)] for d in range(4)]
-    # undo stage 3 per k3 block, then the small twiddle on k3 >= 1
+    # undo stage 3 per k3 block (tbi folded into the matrices)
     blocks = []
     for k3 in range(r):
-        b = _mod_matmul(_planes(c2[:, k3 * B:(k3 + 1) * B]), w2i,
+        w2if = [[w2if_refs[k3][0, d, f] for f in range(4)] for d in range(4)]
+        b = _mod_matmul(_planes(c2[:, k3 * B:(k3 + 1) * B]), w2if,
                         q, r16, r16s, r32, r32s, left=False)
-        if k3 > 0:
-            b = _shoup(b, tbi_ref[0, k3:k3 + 1, :], tbi_s_ref[0, k3:k3 + 1, :], q)
         blocks.append(b)
     # undo DFT_r (r <= 2: plain sum/difference)
     if r == 2:
@@ -150,10 +164,17 @@ def _tensor_intt_kernel(scalars_ref, a0_ref, a1_ref, b0_ref, b1_ref,
         c2c_ref[:, pl.ds(l * (r * B) + j3 * B, B)] = z
 
 
-def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref,
-                        w1_ref, t_ref, t_s_ref, tb_ref, tb_s_ref, w2_ref,
-                        hb_ref, ha_ref, out_ref, *, ndig: int, r: int, B: int):
-    """Per-output-limb forward digit NTTs + hint inner product."""
+def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref, w1_ref,
+                        t_ref, t_s_ref, *rest_refs, ndig: int, r: int, B: int):
+    """Per-output-limb forward digit NTTs + hint inner product.
+
+    Both MXU stages run as wide dots over ALL digits: stage 1 directly on
+    the packed coefficient block; stage 3 on VMEM scratch buffers (one per
+    k3) into which the twiddled, butterflied digit blocks are packed. The
+    k3 small twiddles are folded into the stage-3 matrices."""
+    w2f_refs = rest_refs[:r]
+    hb_ref, ha_ref, out_ref = rest_refs[r], rest_refs[r + 1], rest_refs[r + 2]
+    scr_refs = rest_refs[r + 3:r + 3 + r]
     l = pl.program_id(0)
     q = scalars_ref[l, 0]
     r16 = scalars_ref[l, 1]
@@ -161,14 +182,11 @@ def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref,
     r32 = scalars_ref[l, 3]
     r32s = scalars_ref[l, 4]
     w1 = [[w1_ref[0, d, f] for f in range(4)] for d in range(4)]
-    w2 = [[w2_ref[0, d, f] for f in range(4)] for d in range(4)]
     D = ndig
     Br = r * B
     # stage 1 for ALL digits at once: [A, A] @ [A, D·B·r]
     y = _mod_matmul(_planes(c2c_ref[...]), w1, q, r16, r16s, r32, r32s,
                     left=True)
-    out_blocks = [[c0_ref[0][:, k3 * B:(k3 + 1) * B] for k3 in range(r)],
-                  [c1_ref[0][:, k3 * B:(k3 + 1) * B] for k3 in range(r)]]
     for d in range(D):
         yd = _shoup(y[:, d * Br:(d + 1) * Br], t_ref[0], t_s_ref[0], q)
         if r == 2:
@@ -176,23 +194,29 @@ def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref,
             blocks = [_addmod(lo, hi, q), _submod(lo, hi, q)]
         else:
             blocks = [yd]
+        A = y.shape[0]
         for k3 in range(r):
-            b = blocks[k3]
-            if k3 > 0:
-                b = _shoup(b, tb_ref[0, k3:k3 + 1, :], tb_s_ref[0, k3:k3 + 1, :], q)
-            z = _mod_matmul(_planes(b), w2, q, r16, r16s, r32, r32s,
-                            left=False)
+            scr_refs[k3][d * A:(d + 1) * A, :] = blocks[k3]
+    out0 = [c0_ref[0][:, k3 * B:(k3 + 1) * B] for k3 in range(r)]
+    out1 = [c1_ref[0][:, k3 * B:(k3 + 1) * B] for k3 in range(r)]
+    A = c0_ref.shape[1]
+    for k3 in range(r):
+        w2f = [[w2f_refs[k3][0, d, f] for f in range(4)] for d in range(4)]
+        # stage 3 for ALL digits at once: digits packed along rows, one
+        # [D·A, B] @ [B, B] dot per k3
+        z = _mod_matmul(_planes(scr_refs[k3][...]), w2f,
+                        q, r16, r16s, r32, r32s, left=False)
+        for d in range(D):
+            zd = z[d * A:(d + 1) * A, :]
             hb = hb_ref[d, 0][:, k3 * B:(k3 + 1) * B]
             ha = ha_ref[d, 0][:, k3 * B:(k3 + 1) * B]
-            out_blocks[0][k3] = _addmod(
-                out_blocks[0][k3],
-                _mulmod_gen(z, hb, q, r16, r16s, r32, r32s), q)
-            out_blocks[1][k3] = _addmod(
-                out_blocks[1][k3],
-                _mulmod_gen(z, ha, q, r16, r16s, r32, r32s), q)
+            out0[k3] = _addmod(
+                out0[k3], _mulmod_gen(zd, hb, q, r16, r16s, r32, r32s), q)
+            out1[k3] = _addmod(
+                out1[k3], _mulmod_gen(zd, ha, q, r16, r16s, r32, r32s), q)
     for k3 in range(r):
-        out_ref[0, 0, :, k3 * B:(k3 + 1) * B] = out_blocks[0][k3]
-        out_ref[1, 0, :, k3 * B:(k3 + 1) * B] = out_blocks[1][k3]
+        out_ref[0, 0, :, k3 * B:(k3 + 1) * B] = out0[k3]
+        out_ref[1, 0, :, k3 * B:(k3 + 1) * B] = out1[k3]
 
 
 def _limb_spec(shape):
@@ -229,8 +253,7 @@ def mul_relin_pallas(p, ct_a, ct_b, hint_b, hint_a):
             smem,
             _limb_spec((A, Br)), _limb_spec((A, Br)),
             _limb_spec((A, Br)), _limb_spec((A, Br)),
-            _limb_spec((4, 4, B, B)),
-            _limb_spec((r, B)), _limb_spec((r, B)),
+            *[_limb_spec((4, 4, B, B)) for _ in range(r)],
             _limb_spec((A, Br)), _limb_spec((A, Br)),
             _limb_spec((4, 4, A, A)),
         ],
@@ -243,8 +266,7 @@ def mul_relin_pallas(p, ct_a, ct_b, hint_b, hint_a):
             jax.ShapeDtypeStruct(g, jnp.uint32),
             jax.ShapeDtypeStruct((A, L * Br), jnp.uint32),
         ],
-    )(t["scal"], a0, a1, b0, b1, t["w2i"], t["tbi"], t["tbi_s"],
-      t["Ti"], t["Ti_s"], t["w1i"])
+    )(t["scal"], a0, a1, b0, b1, *t["w2if"], t["Ti"], t["Ti_s"], t["w1i"])
 
     hb = hint_b.reshape(L, L, A, Br)
     ha = hint_a.reshape(L, L, A, Br)
@@ -259,13 +281,13 @@ def mul_relin_pallas(p, ct_a, ct_b, hint_b, hint_a):
             _limb_spec((A, Br)), _limb_spec((A, Br)),
             _limb_spec((4, 4, A, A)),
             _limb_spec((A, Br)), _limb_spec((A, Br)),
-            _limb_spec((r, B)), _limb_spec((r, B)),
-            _limb_spec((4, 4, B, B)),
+            *[_limb_spec((4, 4, B, B)) for _ in range(r)],
             dig_spec, dig_spec,
         ],
         out_specs=pl.BlockSpec((2, 1, A, Br), lambda l: (0, l, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, L, A, Br), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((L * A, B), jnp.uint32) for _ in range(r)],
     )(t["scal"], c2c, c0, c1, t["w1"], t["T"], t["T_s"],
-      t["tb"], t["tb_s"], t["w2"], hb, ha)
+      *t["w2f"], hb, ha)
     return out.reshape(2, L, n)
