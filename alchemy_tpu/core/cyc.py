@@ -283,6 +283,35 @@ class Cyc:
         out = self.bk.axis_matmul(x.data, mats, self.ring.shape, self.qs)
         return Cyc(tgt, self.qs, POW, out, self.bk)
 
+    # -- decoding basis (Lol `l`/`lInv`; LPR toolkit §6) ----------------------
+    #
+    # For odd prime p the decoding basis of the p-th cyclotomic is the
+    # difference basis d_0 = 1, d_j = ζ^j − ζ^{j−1} (powerful = L·decoding
+    # with L the lower-triangular all-ones matrix); for prime powers p^e the
+    # toolkit's recursive definition tensors d_p with the pure powers
+    # (1, ζ_{p^e}, …, ζ^{p^{e−1}−1}), so the conversion acts on the slow j_p
+    # sub-axis only: coords transform c = (Uᵀ_ones ⊗ I_{p^{e−1}})·b
+    # (suffix sums over j_p). For p = 2 decoding = powerful.
+
+    def _dec_axis_mats(self, skip_primes: frozenset, invert: bool):
+        """Per-factor matrices converting POW coords → DEC coords (or back
+        with invert=True); None where the factor is untouched (p = 2 or
+        p ∈ skip_primes)."""
+        mats = []
+        for f in self.ring.factors:
+            if f.p == 2 or f.p in skip_primes:
+                mats.append(None)
+            else:
+                mats.append(_dec_factor_matrix(f.p, f.e, invert))
+        return mats
+
+    def _pow_dec_convert(self, skip_primes: frozenset, invert: bool):
+        """Apply the POW↔DEC coordinate change (on POW-basis data)."""
+        mats = self._dec_axis_mats(skip_primes, invert)
+        if all(m is None for m in mats):
+            return self.data
+        return self.bk.axis_matmul(self.data, mats, self.ring.shape, self.qs)
+
     # -- relative coefficients (for linear maps / tunneling) -----------------
 
     def rel_split_shape(self, m_sub: int) -> tuple[list[int], list[int]]:
@@ -298,16 +327,24 @@ class Cyc:
             subs.append(sub_len)
         return subs, rels
 
-    def rel_coeffs(self, m_sub: int) -> list["Cyc"]:
-        """Coefficients of this element w.r.t. the relative powerful basis of
-        R_m over R_{m_sub}: a list of φ(m)/φ(m_sub) subring elements.
+    def rel_coeffs(self, m_sub: int, basis: str = "pow") -> list["Cyc"]:
+        """Coefficients of this element w.r.t. the relative powerful
+        (basis="pow") or relative decoding (basis="dec") basis of R_m over
+        R_{m_sub}: a list of φ(m)/φ(m_sub) subring elements.
 
-        (Stands in for Lol's decoding-basis coefficient extraction used by
-        `linearDec`, Common.hs:65-75; see DESIGN.md on the basis choice.)
+        basis="dec" is Lol's `linearDec` basis (toolkit §6): the relative
+        decoding basis differs from the relative powerful basis exactly on
+        the odd primes absent from m_sub (there the factor carries the
+        difference-basis structure d_j = ζ^j − ζ^{j−1}); on primes shared
+        with m_sub the relative part is pure powers in both.
         """
         sub = get_ring(m_sub)
         subs, rels = self.rel_split_shape(m_sub)
         x = self.to_pow()
+        if basis == "dec":
+            skip = frozenset(f.p for f in sub.factors)
+            data = x._pow_dec_convert(skip, invert=False)
+            x = x.like(data, basis=POW)
         L = x.data.shape[0]
         # split each axis into (i_sub slow, j_rel fast)
         split_shape = []
@@ -327,8 +364,9 @@ class Cyc:
         return out
 
     @staticmethod
-    def from_rel_coeffs(m: int, m_sub: int, coeffs: list["Cyc"], qs, bk) -> "Cyc":
-        """Inverse of `rel_coeffs`."""
+    def from_rel_coeffs(m: int, m_sub: int, coeffs: list["Cyc"], qs, bk,
+                        basis: str = "pow") -> "Cyc":
+        """Inverse of `rel_coeffs` (same `basis` convention)."""
         ring = get_ring(m)
         sub = get_ring(m_sub)
         probe = Cyc.zero(m, qs, bk)
@@ -346,7 +384,11 @@ class Cyc:
         arr = arr.reshape(L, ring.phi)
         if isinstance(arr, np.ndarray):
             arr = bk.asarray(arr, tuple(qs))
-        return Cyc(ring, tuple(qs), POW, arr, bk)
+        out = Cyc(ring, tuple(qs), POW, arr, bk)
+        if basis == "dec":
+            skip = frozenset(f.p for f in sub.factors)
+            out = out.like(out._pow_dec_convert(skip, invert=True), basis=POW)
+        return out
 
     # -- host-side exact access ---------------------------------------------
 
@@ -379,6 +421,24 @@ def _fused_embed_crt_mats(m_src: int, m_tgt: int, qs: tuple[int, ...]):
             per_limb.append((C.astype(object) @ E.astype(object) % q).astype(np.int64))
         mats.append(per_limb)
     return mats, tuple(src_shape)
+
+
+@lru_cache(maxsize=None)
+def _dec_factor_matrix(p: int, e: int, invert: bool) -> np.ndarray:
+    """POW→DEC coordinate change on the p^e factor axis (invert=False):
+    suffix sums over the slow j_p sub-axis, c = (Uᵀ_ones ⊗ I_{p^{e−1}})·b;
+    invert=True gives the difference-matrix inverse (entries 0/±1)."""
+    d = p - 1
+    rest = p ** (e - 1)
+    if invert:
+        U = np.zeros((d, d), dtype=np.int64)
+        for i in range(d):
+            U[i, i] = 1
+            if i + 1 < d:
+                U[i, i + 1] = -1
+    else:
+        U = np.triu(np.ones((d, d), dtype=np.int64))
+    return np.kron(U, np.eye(rest, dtype=np.int64))
 
 
 @lru_cache(maxsize=None)

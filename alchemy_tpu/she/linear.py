@@ -1,8 +1,10 @@
 """E-linear maps between cyclotomic rings (Lol's `Linear t zp e r s`).
 
 A `LinearMap` is specified by the images y_j ∈ R_s of the relative basis
-elements d_j of R_r over R_e (`linearDec`, Common.hs:65-75; here the relative
-basis is the relative powerful basis — see DESIGN.md on the basis choice).
+elements d_j of R_r over R_e. The default basis is the relative DECODING
+basis — Lol's `linearDec` (Common.hs:65-75; LPR toolkit §6: the difference
+basis d_j = ζ^j − ζ^{j−1} on odd primes absent from e, pure powers
+elsewhere — core/cyc.py). basis="pow" selects the relative powerful basis.
 
 Evaluation (Lol `evalLin`, Eval.hs:141): f(x) = Σ_j embed_{e→s}(x_j)·y_j
 where x = Σ_j d_j·x_j with x_j ∈ R_e.
@@ -22,6 +24,7 @@ class LinearMap:
     r: int
     s: int
     images: tuple[Cyc, ...]  # y_j ∈ R_s (over the plaintext modulus)
+    basis: str = "dec"       # relative basis the images refer to
 
     def __post_init__(self):
         assert self.r % self.e == 0 and self.s % self.e == 0
@@ -35,7 +38,7 @@ class LinearMap:
     def eval(self, x: Cyc) -> Cyc:
         """Plaintext evaluation (the E interpreter's linearCyc_)."""
         assert x.m == self.r
-        coeffs = x.rel_coeffs(self.e)
+        coeffs = x.rel_coeffs(self.e, basis=self.basis)
         acc = None
         for xj, yj in zip(coeffs, self.images):
             term = xj.embed(self.s) * yj

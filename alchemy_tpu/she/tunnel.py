@@ -4,8 +4,10 @@ E-linear map R_r → R_s while switching keys R_{r'} → R_{s'}.
 Rebuild of SymmSHE `tunnel`/`TunnelHint`/`tunnelHint` (SURVEY.md §2.3;
 KeysHints.hs:120-129, Eval.hs:127,134; compiled use PT2CT.hs:207-229).
 
-Construction (see DESIGN.md): with e' = e·(r'/r), the relative powerful basis
-d_j of R_{r'}/R_{e'} coincides with that of R_r/R_e (validated), and the
+Construction (see DESIGN.md): with e' = e·(r'/r), the relative basis
+d_j of R_{r'}/R_{e'} coincides with that of R_r/R_e (validated — for the
+decoding basis too: the dec structure sits on primes absent from e, which
+the validation pins to be identical between r and r'), and the
 induced map f'(d_j) = embed_{s→s'}(ỹ_j) (ỹ = centered-lifted images)
 satisfies f'∘embed = embed∘f. The hint publishes gadget encryptions of
 f'(d_j·s_in) under s_out; tunneling writes c1 = Σ_j c1_j·d_j and outputs
@@ -54,14 +56,13 @@ def _validate_extension(e: int, r: int, s: int, r_p: int, s_p: int) -> int:
     return e_p
 
 
-def _rel_basis_elem(m: int, m_sub: int, j: int, qs, bk) -> Cyc:
-    """The j-th relative powerful basis element of R_m over R_{m_sub}."""
-    probe = Cyc.zero(m, qs, bk)
+def _rel_basis_elem(m: int, m_sub: int, j: int, qs, bk, basis: str) -> Cyc:
+    """The j-th relative basis element of R_m over R_{m_sub}."""
     coeffs = [
         Cyc.constant(m_sub, qs, 1 if k == j else 0, bk)
         for k in range(totient(m) // totient(m_sub))
     ]
-    return Cyc.from_rel_coeffs(m, m_sub, coeffs, qs, bk)
+    return Cyc.from_rel_coeffs(m, m_sub, coeffs, qs, bk, basis=basis)
 
 
 def _lift_images(f: LinearMap, s_p: int, qs, bk) -> list[Cyc]:
@@ -74,10 +75,11 @@ def _lift_images(f: LinearMap, s_p: int, qs, bk) -> list[Cyc]:
     return out
 
 
-def _f_prime_apply(z: Cyc, e_p: int, s_p: int, images_sp: list[Cyc]) -> Cyc:
+def _f_prime_apply(z: Cyc, e_p: int, s_p: int, images_sp: list[Cyc],
+                   basis: str) -> Cyc:
     """f'(z) = Σ_j embed_{e'→s'}(z_j)·ỹ_j for z ∈ R_{r'} (coefficients go
     through one fused embed+CRT batch)."""
-    coeffs = [c.to_pow() for c in z.rel_coeffs(e_p)]
+    coeffs = [c.to_pow() for c in z.rel_coeffs(e_p, basis=basis)]
     embedded = Cyc.batched_embed_crt(coeffs, s_p)
     acc = None
     for zj, yj in zip(embedded, images_sp):
@@ -110,8 +112,9 @@ def tunnel_hint(f: LinearMap, sk_out: SK, sk_in: SK, gadget: Gadget,
     factors = gadget.factors(qs)
     rows = []
     for j in range(f.dim):
-        d_j = _rel_basis_elem(r_p, e_p, j, qs, bk)
-        w_j = _f_prime_apply(d_j.to_crt() * s_in.to_crt(), e_p, s_p, images_sp)
+        d_j = _rel_basis_elem(r_p, e_p, j, qs, bk, f.basis)
+        w_j = _f_prime_apply(d_j.to_crt() * s_in.to_crt(), e_p, s_p, images_sp,
+                             f.basis)
         digit_rows = []
         for g in factors:
             a = Cyc.from_coeffs(s_p, qs, uniform_residues(rng, qs, ring_sp.phi), bk).to_crt()
@@ -129,9 +132,10 @@ def tunnel(hint: TunnelHint, ct: CT) -> CT:
     assert ct.qs == hint.qs, (ct.qs, hint.qs)
     assert ct.m == hint.f.r and ct.m_prime == hint.r_p
     c0, c1 = ct.comps
-    out0 = _f_prime_apply(c0.to_crt(), hint.e_p, hint.s_p, hint.images_sp)
+    out0 = _f_prime_apply(c0.to_crt(), hint.e_p, hint.s_p, hint.images_sp,
+                          hint.f.basis)
     out1 = None
-    c1_coeffs = c1.rel_coeffs(hint.e_p)
+    c1_coeffs = c1.rel_coeffs(hint.e_p, basis=hint.f.basis)
     # every digit of every coefficient goes through ONE fused embed+CRT pass
     all_digits = []
     rows_flat = []

@@ -148,3 +148,56 @@ def test_crt_lift_host():
     lifted = crt_lift_host(x)
     assert lifted[0] == 5
     assert lifted[3] == -3
+
+
+# -- decoding basis (Lol `l`/`lInv`; LPR toolkit §6) --------------------------
+
+
+def test_dec_basis_prime_difference_structure():
+    """For prime m: d_0 = 1, d_j = ζ^j − ζ^{j−1} (powerful = L·decoding)."""
+    q, m = 29, 7
+    for j in range(6):
+        coeffs = [Cyc.constant(1, (q,), 1 if k == j else 0, BK) for k in range(6)]
+        dj = Cyc.from_rel_coeffs(m, 1, coeffs, (q,), BK, basis="dec")
+        pow_c = BK.to_numpy(dj.to_pow().data)[0] % q
+        expect = np.zeros(6, dtype=np.int64)
+        expect[j] = 1
+        if j > 0:
+            expect[j - 1] = q - 1
+        assert np.array_equal(pow_c, expect % q), (j, pow_c, expect)
+
+
+@pytest.mark.parametrize("m_sub,m", [(3, 63), (9, 63), (7, 63), (8, 56), (4, 84)])
+def test_rel_coeffs_dec_roundtrip(m_sub, m):
+    q = 29
+    rng = np.random.default_rng(3)
+    x = Cyc.from_coeffs(m, (q,), rng.integers(0, q, totient(m)), BK)
+    cs = x.rel_coeffs(m_sub, basis="dec")
+    y = Cyc.from_rel_coeffs(m, m_sub, cs, (q,), BK, basis="dec")
+    assert x.equals(y)
+
+
+def test_rel_coeffs_dec_are_module_coords():
+    """x = Σ_j d_j·embed(x_j) with d_j the relative decoding basis."""
+    q, r, e = 29, 63, 9
+    rng = np.random.default_rng(4)
+    x = Cyc.from_coeffs(r, (q,), rng.integers(0, q, totient(r)), BK)
+    cs = x.rel_coeffs(e, basis="dec")
+    acc = None
+    for j, cj in enumerate(cs):
+        unit = [Cyc.constant(e, (q,), 1 if k == j else 0, BK) for k in range(len(cs))]
+        dj = Cyc.from_rel_coeffs(r, e, unit, (q,), BK, basis="dec")
+        term = dj * cj.embed(r)
+        acc = term if acc is None else acc + term
+    assert x.equals(acc)
+
+
+def test_rel_dec_matches_pow_on_shared_primes():
+    """On extensions whose relative part has no new odd primes, the relative
+    decoding and powerful bases coincide (toolkit: pure powers there)."""
+    q, r, e = 29, 63, 21   # r/e = 3: the 3-part grows, 3 | e and 7 | e
+    rng = np.random.default_rng(5)
+    x = Cyc.from_coeffs(r, (q,), rng.integers(0, q, totient(r)), BK)
+    a = x.rel_coeffs(e, basis="dec")
+    b = x.rel_coeffs(e, basis="pow")
+    assert all(ca.equals(cb) for ca, cb in zip(a, b))
