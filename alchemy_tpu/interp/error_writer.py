@@ -1,19 +1,27 @@
-"""ERW — error-rate instrumentation (reference Interpreter/ErrorRateWriter.hs).
+"""ERW — error-rate writer (reference Interpreter/ErrorRateWriter.hs).
 
-The reference rewrites the object program into a Kleisli program over an
-object-language writer monad, logging `(opName ++ modulus, errorRate)` after
-every ciphertext-producing op (ErrorRateWriter.hs:70-75, 85-106). The
-TPU-native equivalent (SURVEY.md §3.5) is an instrumented evaluation mode:
-same IR, same log format `[(str, float)]`, with the secret keys looked up
-from the KeysHints context (debug/observability mode — requires keys)."""
+The reference rewrites the object program into a *Kleisli* program over an
+object-language writer monad: every arrow `a -> b` becomes `a -> w b`
+(`Kleislify`, ErrorRateWriter.hs:45-49) and every ciphertext-producing op
+gains a `tellError` step logging `(opName ++ modulus, errorRate)`
+(ErrorRateWriter.hs:70-75, 85-106). `write_error_rates` is that same
+IR → IR transform: the result is an ordinary object program built from the
+Monad symantics (pure_/bind_/tell_, Language/Monad.hs) plus a `tellError`
+probe primitive, so it can be evaluated, pretty-printed, and sized like any
+other term; evaluating it under the structural writer monad of interp/eval
+yields (value, ErrorRateLog). Keys come from the KeysHints context (the
+reference reads them via readerToAccumulator, MonadAccumulator.hs:80-82).
+
+`eval_with_error_rates` = transform + eval (the reference's
+`runWriter $ eval (writeErrorRates term) >>= ...` usage,
+examples/Arithmetic.hs:67-68).
+"""
 
 from __future__ import annotations
 
-from alchemy_tpu.interp.eval import _prim_value  # reuse the evaluator core
+from alchemy_tpu.interp.eval import eval_ir as _eval
 from alchemy_tpu.interp.keys_hints import KeysHints
 from alchemy_tpu.lang.ir import App, Lam, Node, Prim, Var
-from alchemy_tpu.she import bgv
-from alchemy_tpu.she.ct import CT
 
 #: ops that produce ciphertexts and are probed (ErrorRateWriter.hs:108-198)
 _PROBED = {
@@ -22,10 +30,15 @@ _PROBED = {
     "keySwitchQuad_", "tunnel_",
 }
 
-
-def _zq_str(qs) -> str:
-    return "Zq[" + ",".join(str(q) for q in qs) + "]"
-
+#: curried arity of every primitive a source program may contain
+_ARITY = {
+    "add_": 2, "mul_": 2, "pair_": 2, "cons_": 2,
+    "neg_": 1, "div2_": 1, "addLit_": 1, "mulLit_": 1, "linearCyc_": 1,
+    "modSwitchPT_": 1, "modSwitch_": 1, "addPublic_": 1, "mulPublic_": 1,
+    "keySwitchQuad_": 1, "tunnel_": 1, "errorRate_": 1,
+    "fst_": 1, "snd_": 1,
+    "nil_": 0, "string_": 0,
+}
 
 #: error rate above which decryption failure is imminent (reference
 #: observation, SURVEY.md §4 item 4: rates approaching ~0.25-0.5 fail)
@@ -38,51 +51,79 @@ class NoiseOverflowError(RuntimeError):
     compile-time modulus-exhaustion TypeError)."""
 
 
-class _Probe:
-    def __init__(self, ctx: KeysHints, log: list, strict: bool = False):
-        self.ctx = ctx
-        self.log = log
-        self.strict = strict
+def _pure(t: Node) -> Node:
+    return App(Prim("pure_", "writer"), t)
 
-    def wrap(self, name: str, v):
-        if callable(v):
-            return lambda x: self.wrap(name, v(x))
-        if isinstance(v, CT):
-            sk = self.ctx.lookup_key(v.m_prime)
-            if sk is not None:
-                rate = bgv.error_rate(sk, v)
-                self.log.append((f"{name}{_zq_str(v.qs)}", rate))
-                if self.strict and rate > NOISE_OVERFLOW_THRESHOLD:
-                    raise NoiseOverflowError(
-                        f"{name} at {_zq_str(v.qs)}: error rate {rate:.3g} "
-                        f"exceeds {NOISE_OVERFLOW_THRESHOLD}"
-                    )
-        return v
+
+def _bind(ma: Node, k: Node) -> Node:
+    return App(App(Prim("bind_", "writer"), ma), k)
+
+
+def _shift(node: Node, by: int, cutoff: int = 0) -> Node:
+    """Standard de Bruijn shift of free variables ≥ cutoff."""
+    if isinstance(node, Var):
+        return Var(node.idx + by) if node.idx >= cutoff else node
+    if isinstance(node, Lam):
+        return Lam(_shift(node.body, by, cutoff + 1))
+    if isinstance(node, App):
+        return App(_shift(node.f, by, cutoff), _shift(node.a, by, cutoff))
+    return node
+
+
+def _probe_wrap(res: Node, name: str, ctx: KeysHints, strict: bool) -> Node:
+    """`res >>= \\y -> tell (tellError y) >> pure y` — the `after_ tellError`
+    composition of ErrorRateWriter.hs:92-97 as an object term."""
+    entries = App(Prim("tellEntries_", (name, ctx, strict)), Var(0))
+    tell = App(Prim("tell_", "writer"), entries)
+    return _bind(_pure(res), Lam(_bind(tell, Lam(_pure(Var(1))))))
+
+
+def _kleisli_prim(node: Prim, ctx: KeysHints, strict: bool) -> Node:
+    name = node.name
+    if name not in _ARITY:
+        raise ValueError(f"writeErrorRates: primitive {name!r} not Kleislifiable")
+    arity = _ARITY[name]
+    if arity == 0:
+        return _pure(node)
+    probed = name in _PROBED
+
+    def wrap(res: Node) -> Node:
+        return _probe_wrap(res, name, ctx, strict) if probed else _pure(res)
+
+    if arity == 1:
+        return _pure(Lam(wrap(App(node, Var(0)))))
+    return _pure(Lam(_pure(Lam(wrap(App(App(node, Var(1)), Var(0)))))))
+
+
+def write_error_rates(expr: Node, ctx: KeysHints, strict: bool = False) -> Node:
+    """Kleislify `expr`: the returned term is writer-monadic (`w a`; arrows
+    become `a -> w b`), logging per-op error rates as it runs — the
+    reference's `writeErrorRates` (ErrorRateWriter.hs:55-57)."""
+
+    def go(node: Node) -> Node:
+        if isinstance(node, Var):
+            return _pure(node)
+        if isinstance(node, Lam):
+            return _pure(Lam(go(node.body)))
+        if isinstance(node, App):
+            tf = go(node.f)
+            ta = _shift(go(node.a), 1)
+            # f' <- tf; a' <- ta; f' a'   (ERW's Lambda_ `$:` instance)
+            return _bind(tf, Lam(_bind(ta, Lam(App(Var(1), Var(0))))))
+        if isinstance(node, Prim):
+            return _kleisli_prim(node, ctx, strict)
+        raise TypeError(node)
+
+    return go(expr)
 
 
 def eval_with_error_rates(expr: Node, ctx: KeysHints, *args, strict: bool = False):
-    """Evaluate a (compiled) expression, returning (result, error_rate_log).
-    The log is the reference's ErrorRateLog: [(op ++ modulus, rate)].
-    strict=True raises NoiseOverflowError when a rate crosses the
-    decryption-failure threshold."""
-    log: list[tuple[str, float]] = []
-    probe = _Probe(ctx, log, strict)
-
-    def ev(node: Node, env: tuple):
-        if isinstance(node, Var):
-            return env[node.idx]
-        if isinstance(node, Lam):
-            return lambda v: ev(node.body, (v,) + env)
-        if isinstance(node, App):
-            return ev(node.f, env)(ev(node.a, env))
-        if isinstance(node, Prim):
-            v = _prim_value(node.name, node.payload)
-            if node.name in _PROBED:
-                return probe.wrap(node.name, v)
-            return v
-        raise TypeError(node)
-
-    v = ev(expr, ())
+    """Evaluate a (compiled) expression under the writer monad, returning
+    (result, error_rate_log) with the reference's ErrorRateLog format
+    [(op ++ modulus, rate)]. strict=True raises NoiseOverflowError when a
+    rate crosses the decryption-failure threshold."""
+    v, log = _eval(write_error_rates(expr, ctx, strict))
     for a in args:
-        v = v(a)
-    return v, log
+        v, more = v(a)
+        log = log + more
+    return v, list(log)

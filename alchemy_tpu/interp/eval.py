@@ -64,6 +64,33 @@ def _prim_value(name: str, payload):
         return lambda ct: tunnel_apply(payload, ct)
     if name == "errorRate_":
         return lambda ct: bgv.error_rate(payload, ct)
+    if name == "tellEntries_":
+        # ERW probe (interp/error_writer.py): the object-language tellError
+        # of ErrorRateWriter.hs:70-75 — [(op ++ modulus, rate)] or [] when
+        # the value is not a ciphertext / no key is known
+        opname, ctx, strict = payload
+
+        def probe(v):
+            if not isinstance(v, CT):
+                return []
+            sk = ctx.lookup_key(v.m_prime)
+            if sk is None:
+                return []
+            rate = bgv.error_rate(sk, v)
+            label = f"{opname}Zq[" + ",".join(str(q) for q in v.qs) + "]"
+            if strict:
+                from alchemy_tpu.interp.error_writer import (
+                    NOISE_OVERFLOW_THRESHOLD,
+                    NoiseOverflowError,
+                )
+                if rate > NOISE_OVERFLOW_THRESHOLD:
+                    raise NoiseOverflowError(
+                        f"{label}: error rate {rate:.3g} exceeds "
+                        f"{NOISE_OVERFLOW_THRESHOLD}"
+                    )
+            return [(label, rate)]
+
+        return probe
     if name == "nil_":
         return []
     if name == "cons_":

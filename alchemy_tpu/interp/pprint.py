@@ -46,6 +46,10 @@ def _prim_str(node: Prim) -> str:
         return "errorRate <KEY>"
     if n == "string_":
         return str(node.payload)
+    if n == "tellEntries_":
+        return "tellError <KEY>"
+    if n in ("fmap_", "pure_", "ap_", "bind_", "tell_", "listen_"):
+        return n[:-1]
     return n
 
 

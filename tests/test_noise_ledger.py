@@ -51,3 +51,34 @@ def test_tunnel_rates_respect_ledger():
     # strict mode: no op may cross the decryption-failure threshold
     result, log = eval_with_error_rates(compiled.ir, ctx, ct, strict=True)
     assert all(rate < 0.01 for _, rate in log), log
+
+
+def test_write_error_rates_is_object_program():
+    """writeErrorRates is an IR→IR transform (ErrorRateWriter.hs): the
+    Kleislified term is an ordinary object program — printable, sizeable,
+    and its evaluation under the writer monad reproduces the log."""
+    from alchemy_tpu.interp import pprint, size
+    from alchemy_tpu.interp.error_writer import write_error_rates
+    from alchemy_tpu.interp.eval import eval_ir
+
+    from alchemy_tpu.examples.arithmetic import M, M_MAP, PT, ZP, ZQS, addMul
+
+    rng = np.random.default_rng(9)
+    ctx = KeysHints(3.0, seed=9)
+    compiled = pt2ct(addMul, res_ty=PT, m_map=M_MAP, zqs=ZQS, gad=TrivGad(), ctx=ctx)
+    args = [
+        compiled.encrypt_arg(
+            Cyc.from_coeffs(M, (ZP,), rng.integers(0, ZP, totient(M)), ctx.bk), i)
+        for i in range(2)
+    ]
+    t = write_error_rates(compiled.ir, ctx)
+    s = pprint(t)
+    assert "tellError <KEY>" in s and "bind" in s and "pure" in s
+    assert size(t) > size(compiled.ir)
+    v, log = eval_ir(t)
+    for a in args:
+        v, more = v(a)
+        log = log + more
+    _, log2 = eval_with_error_rates(compiled.ir, ctx, *args)
+    assert [name for name, _ in log] == [name for name, _ in log2]
+    assert len(log) >= 4   # add, mul, keySwitchQuad, modSwitch at least
