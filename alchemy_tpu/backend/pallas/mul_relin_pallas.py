@@ -123,8 +123,9 @@ def _pallas3_tables(n: int, qs: tuple[int, ...]):
 
 
 def _tensor_intt_kernel(scalars_ref, a0_ref, a1_ref, b0_ref, b1_ref,
-                        *rest_refs, r: int, B: int):
-    """Per-limb tensor product (c0, c1) and 3-factor iNTT(c2)."""
+                        *rest_refs, r: int, B: int, bt: int, nlimb: int):
+    """Per-limb tensor product (c0, c1) and 3-factor iNTT(c2), looped over
+    the static ciphertext batch (tables stream once per limb)."""
     w2if_refs = rest_refs[:r]
     ti_ref, ti_s_ref, w1i_ref = rest_refs[r], rest_refs[r + 1], rest_refs[r + 2]
     c0_ref, c1_ref, c2c_ref = rest_refs[r + 3], rest_refs[r + 4], rest_refs[r + 5]
@@ -134,38 +135,43 @@ def _tensor_intt_kernel(scalars_ref, a0_ref, a1_ref, b0_ref, b1_ref,
     r16s = scalars_ref[l, 2]
     r32 = scalars_ref[l, 3]
     r32s = scalars_ref[l, 4]
-    a0, a1 = a0_ref[0], a1_ref[0]
-    b0, b1 = b0_ref[0], b1_ref[0]
-    mm = lambda x, y: _mulmod_gen(x, y, q, r16, r16s, r32, r32s)
-    c0 = mm(a0, b0)
-    c2 = mm(a1, b1)
-    cross = mm(_addmod(a0, a1, q), _addmod(b0, b1, q))
-    c1 = _submod(cross, _addmod(c0, c2, q), q)
-    c0_ref[0] = c0
-    c1_ref[0] = c1
     w1i = [[w1i_ref[0, d, f] for f in range(4)] for d in range(4)]
-    # undo stage 3 per k3 block (tbi folded into the matrices)
-    blocks = []
-    for k3 in range(r):
-        w2if = [[w2if_refs[k3][0, d, f] for f in range(4)] for d in range(4)]
-        b = _mod_matmul(_planes(c2[:, k3 * B:(k3 + 1) * B]), w2if,
-                        q, r16, r16s, r32, r32s, left=False)
-        blocks.append(b)
-    # undo DFT_r (r <= 2: plain sum/difference)
-    if r == 2:
-        blocks = [_addmod(blocks[0], blocks[1], q),
-                  _submod(blocks[0], blocks[1], q)]
-    # inverse big twiddle + inverse stage 1, per j3 block (the left dot
-    # distributes over column blocks — no lane concat needed)
-    for j3 in range(r):
-        y = _shoup(blocks[j3], ti_ref[0][:, j3 * B:(j3 + 1) * B],
-                   ti_s_ref[0][:, j3 * B:(j3 + 1) * B], q)
-        z = _mod_matmul(_planes(y), w1i, q, r16, r16s, r32, r32s, left=True)
-        c2c_ref[:, pl.ds(l * (r * B) + j3 * B, B)] = z
+    w2if = [
+        [[w2if_refs[k3][0, d, f] for f in range(4)] for d in range(4)]
+        for k3 in range(r)
+    ]
+    mm = lambda x, y: _mulmod_gen(x, y, q, r16, r16s, r32, r32s)
+    for b_i in range(bt):
+        a0, a1 = a0_ref[b_i, 0], a1_ref[b_i, 0]
+        b0, b1 = b0_ref[b_i, 0], b1_ref[b_i, 0]
+        c0 = mm(a0, b0)
+        c2 = mm(a1, b1)
+        cross = mm(_addmod(a0, a1, q), _addmod(b0, b1, q))
+        c1 = _submod(cross, _addmod(c0, c2, q), q)
+        c0_ref[b_i, 0] = c0
+        c1_ref[b_i, 0] = c1
+        # undo stage 3 per k3 block (tbi folded into the matrices)
+        blocks = []
+        for k3 in range(r):
+            blk = _mod_matmul(_planes(c2[:, k3 * B:(k3 + 1) * B]), w2if[k3],
+                              q, r16, r16s, r32, r32s, left=False)
+            blocks.append(blk)
+        # undo DFT_r (r <= 2: plain sum/difference)
+        if r == 2:
+            blocks = [_addmod(blocks[0], blocks[1], q),
+                      _submod(blocks[0], blocks[1], q)]
+        # inverse big twiddle + inverse stage 1, per j3 block (the left dot
+        # distributes over column blocks — no lane concat needed)
+        for j3 in range(r):
+            y = _shoup(blocks[j3], ti_ref[0][:, j3 * B:(j3 + 1) * B],
+                       ti_s_ref[0][:, j3 * B:(j3 + 1) * B], q)
+            z = _mod_matmul(_planes(y), w1i, q, r16, r16s, r32, r32s, left=True)
+            c2c_ref[b_i, :, pl.ds(l * (r * B) + j3 * B, B)] = z
 
 
 def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref, w1_ref,
-                        t_ref, t_s_ref, *rest_refs, ndig: int, r: int, B: int):
+                        t_ref, t_s_ref, *rest_refs, ndig: int, r: int, B: int,
+                        bt: int):
     """Per-output-limb forward digit NTTs + hint inner product.
 
     Both MXU stages run as wide dots over ALL digits: stage 1 directly on
@@ -182,41 +188,44 @@ def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref, w1_ref,
     r32 = scalars_ref[l, 3]
     r32s = scalars_ref[l, 4]
     w1 = [[w1_ref[0, d, f] for f in range(4)] for d in range(4)]
+    w2f = [
+        [[w2f_refs[k3][0, d, f] for f in range(4)] for d in range(4)]
+        for k3 in range(r)
+    ]
     D = ndig
     Br = r * B
-    # stage 1 for ALL digits at once: [A, A] @ [A, D·B·r]
-    y = _mod_matmul(_planes(c2c_ref[...]), w1, q, r16, r16s, r32, r32s,
-                    left=True)
-    for d in range(D):
-        yd = _shoup(y[:, d * Br:(d + 1) * Br], t_ref[0], t_s_ref[0], q)
-        if r == 2:
-            lo, hi = yd[:, :B], yd[:, B:]
-            blocks = [_addmod(lo, hi, q), _submod(lo, hi, q)]
-        else:
-            blocks = [yd]
+    for b_i in range(bt):
+        # stage 1 for ALL digits at once: [A, A] @ [A, D·B·r]
+        y = _mod_matmul(_planes(c2c_ref[b_i]), w1, q, r16, r16s, r32, r32s,
+                        left=True)
         A = y.shape[0]
-        for k3 in range(r):
-            scr_refs[k3][d * A:(d + 1) * A, :] = blocks[k3]
-    out0 = [c0_ref[0][:, k3 * B:(k3 + 1) * B] for k3 in range(r)]
-    out1 = [c1_ref[0][:, k3 * B:(k3 + 1) * B] for k3 in range(r)]
-    A = c0_ref.shape[1]
-    for k3 in range(r):
-        w2f = [[w2f_refs[k3][0, d, f] for f in range(4)] for d in range(4)]
-        # stage 3 for ALL digits at once: digits packed along rows, one
-        # [D·A, B] @ [B, B] dot per k3
-        z = _mod_matmul(_planes(scr_refs[k3][...]), w2f,
-                        q, r16, r16s, r32, r32s, left=False)
         for d in range(D):
-            zd = z[d * A:(d + 1) * A, :]
-            hb = hb_ref[d, 0][:, k3 * B:(k3 + 1) * B]
-            ha = ha_ref[d, 0][:, k3 * B:(k3 + 1) * B]
-            out0[k3] = _addmod(
-                out0[k3], _mulmod_gen(zd, hb, q, r16, r16s, r32, r32s), q)
-            out1[k3] = _addmod(
-                out1[k3], _mulmod_gen(zd, ha, q, r16, r16s, r32, r32s), q)
-    for k3 in range(r):
-        out_ref[0, 0, :, k3 * B:(k3 + 1) * B] = out0[k3]
-        out_ref[1, 0, :, k3 * B:(k3 + 1) * B] = out1[k3]
+            yd = _shoup(y[:, d * Br:(d + 1) * Br], t_ref[0], t_s_ref[0], q)
+            if r == 2:
+                lo, hi = yd[:, :B], yd[:, B:]
+                blocks = [_addmod(lo, hi, q), _submod(lo, hi, q)]
+            else:
+                blocks = [yd]
+            for k3 in range(r):
+                scr_refs[k3][d * A:(d + 1) * A, :] = blocks[k3]
+        out0 = [c0_ref[b_i, 0][:, k3 * B:(k3 + 1) * B] for k3 in range(r)]
+        out1 = [c1_ref[b_i, 0][:, k3 * B:(k3 + 1) * B] for k3 in range(r)]
+        for k3 in range(r):
+            # stage 3 for ALL digits at once: digits packed along rows, one
+            # [D·A, B] @ [B, B] dot per k3
+            z = _mod_matmul(_planes(scr_refs[k3][...]), w2f[k3],
+                            q, r16, r16s, r32, r32s, left=False)
+            for d in range(D):
+                zd = z[d * A:(d + 1) * A, :]
+                hb = hb_ref[d, 0][:, k3 * B:(k3 + 1) * B]
+                ha = ha_ref[d, 0][:, k3 * B:(k3 + 1) * B]
+                out0[k3] = _addmod(
+                    out0[k3], _mulmod_gen(zd, hb, q, r16, r16s, r32, r32s), q)
+                out1[k3] = _addmod(
+                    out1[k3], _mulmod_gen(zd, ha, q, r16, r16s, r32, r32s), q)
+        for k3 in range(r):
+            out_ref[0, b_i, 0, :, k3 * B:(k3 + 1) * B] = out0[k3]
+            out_ref[1, b_i, 0, :, k3 * B:(k3 + 1) * B] = out1[k3]
 
 
 def _limb_spec(shape):
@@ -229,42 +238,51 @@ def _full_spec(shape):
                         memory_space=pltpu.VMEM)
 
 
+#: max ciphertexts per fused call (VMEM: the packed digit-coefficient block
+#: is 8 MB per ct at the 2^15/L=8 config; larger batches chunk)
+MAX_BATCH = 4
+
+
+def _batch_spec(bt, shape):
+    return pl.BlockSpec((bt, 1, *shape), lambda l: (0, l, *([0] * len(shape))),
+                        memory_space=pltpu.VMEM)
+
+
 @partial(jax.jit, static_argnums=(0,))
-def mul_relin_pallas(p, ct_a, ct_b, hint_b, hint_a):
-    """Fused multiply+relinearize, [2, L, n] cts (3-factor NTT domain), raw
-    u32 hints [L, L, n]. Bit-identical to she/fast.mul_relin with
-    impl="pallas" on the same inputs."""
+def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
+    """One fused call over a static batch [Bt, 2, L, n] (Bt ≤ MAX_BATCH)."""
     n, qs = p.n, p.qs
     L = len(qs)
     t = _pallas3_tables(n, qs)
     A, B, r = t["A"], t["B"], t["r"]
     Br = B * r
-    g = (L, A, Br)
-    a0 = ct_a[0].reshape(g)
-    a1 = ct_a[1].reshape(g)
-    b0 = ct_b[0].reshape(g)
-    b1 = ct_b[1].reshape(g)
+    Bt = ct_a.shape[0]
+    g = (Bt, L, A, Br)
+    a0 = ct_a[:, 0].reshape(g)
+    a1 = ct_a[:, 1].reshape(g)
+    b0 = ct_b[:, 0].reshape(g)
+    b1 = ct_b[:, 1].reshape(g)
     smem = pl.BlockSpec((L, 5), lambda l: (0, 0), memory_space=pltpu.SMEM)
 
     c0, c1, c2c = pl.pallas_call(
-        partial(_tensor_intt_kernel, r=r, B=B),
+        partial(_tensor_intt_kernel, r=r, B=B, bt=Bt, nlimb=L),
         grid=(L,),
         in_specs=[
             smem,
-            _limb_spec((A, Br)), _limb_spec((A, Br)),
-            _limb_spec((A, Br)), _limb_spec((A, Br)),
+            _batch_spec(Bt, (A, Br)), _batch_spec(Bt, (A, Br)),
+            _batch_spec(Bt, (A, Br)), _batch_spec(Bt, (A, Br)),
             *[_limb_spec((4, 4, B, B)) for _ in range(r)],
             _limb_spec((A, Br)), _limb_spec((A, Br)),
             _limb_spec((4, 4, A, A)),
         ],
         out_specs=[
-            _limb_spec((A, Br)), _limb_spec((A, Br)),
-            _full_spec((A, L * Br)),
+            _batch_spec(Bt, (A, Br)), _batch_spec(Bt, (A, Br)),
+            _full_spec((Bt, A, L * Br)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(g, jnp.uint32),
             jax.ShapeDtypeStruct(g, jnp.uint32),
-            jax.ShapeDtypeStruct((A, L * Br), jnp.uint32),
+            jax.ShapeDtypeStruct((Bt, A, L * Br), jnp.uint32),
         ],
     )(t["scal"], a0, a1, b0, b1, *t["w2if"], t["Ti"], t["Ti_s"], t["w1i"])
 
@@ -273,21 +291,38 @@ def mul_relin_pallas(p, ct_a, ct_b, hint_b, hint_a):
     dig_spec = pl.BlockSpec((L, 1, A, Br), lambda l: (0, l, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        partial(_digit_relin_kernel, ndig=L, r=r, B=B),
+        partial(_digit_relin_kernel, ndig=L, r=r, B=B, bt=Bt),
         grid=(L,),
         in_specs=[
             smem,
-            _full_spec((A, L * Br)),                 # all digit coefficients
-            _limb_spec((A, Br)), _limb_spec((A, Br)),
+            _full_spec((Bt, A, L * Br)),             # all digit coefficients
+            _batch_spec(Bt, (A, Br)), _batch_spec(Bt, (A, Br)),
             _limb_spec((4, 4, A, A)),
             _limb_spec((A, Br)), _limb_spec((A, Br)),
             *[_limb_spec((4, 4, B, B)) for _ in range(r)],
             dig_spec, dig_spec,
         ],
-        out_specs=pl.BlockSpec((2, 1, A, Br), lambda l: (0, l, 0, 0),
+        out_specs=pl.BlockSpec((2, Bt, 1, A, Br), lambda l: (0, 0, l, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, L, A, Br), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((2, Bt, L, A, Br), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((L * A, B), jnp.uint32) for _ in range(r)],
     )(t["scal"], c2c, c0, c1, t["w1"], t["T"], t["T_s"],
       *t["w2f"], hb, ha)
-    return out.reshape(2, L, n)
+    return jnp.moveaxis(out.reshape(2, Bt, L, n), 0, 1)
+
+
+def mul_relin_pallas(p, ct_a, ct_b, hint_b, hint_a):
+    """Fused multiply+relinearize, [2, L, n] or batched [Bt, 2, L, n] cts
+    (3-factor NTT domain), raw u32 hints [L, L, n]. Bit-identical to
+    she/fast.mul_relin with impl="pallas" on the same inputs. Batches larger
+    than MAX_BATCH are processed in chunks of MAX_BATCH per fused call."""
+    if ct_a.ndim == 3:
+        return _mul_relin_pallas_one(
+            p, ct_a[None], ct_b[None], hint_b, hint_a)[0]
+    Bt = ct_a.shape[0]
+    outs = []
+    for s in range(0, Bt, MAX_BATCH):
+        e = min(s + MAX_BATCH, Bt)
+        outs.append(_mul_relin_pallas_one(
+            p, ct_a[s:e], ct_b[s:e], hint_b, hint_a))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

@@ -226,7 +226,7 @@ def mul_relin(p: FastParams, ct_a, ct_b, hint_b, hint_a):
     fused VMEM-resident Mosaic kernel (backend/pallas/mul_relin_pallas.py,
     raw hints), bit-identical to the jnp path.
     """
-    if p.impl == "pallas" and ct_a.ndim == 3 and p.n % 16384 == 0 \
+    if p.impl == "pallas" and ct_a.ndim in (3, 4) and p.n % 16384 == 0 \
             and p.n // 16384 in (1, 2):
         from alchemy_tpu.backend.pallas.mul_relin_pallas import mul_relin_pallas
 

@@ -127,3 +127,25 @@ def test_fast_impl_pallas_dispatch_and_decrypt(monkeypatch):
         ref[i:] += c * m2[: n - i]
         ref[: i] -= c * m2[n - i:]
     assert _np.array_equal(got, ref % p.zp)
+
+
+def test_pallas_mul_relin_batched(monkeypatch):
+    """The batched kernel (leading ct axis, chunked at MAX_BATCH) matches
+    per-ciphertext calls bit-for-bit."""
+    mrk = _patch_interpret_mr(monkeypatch)
+    from alchemy_tpu.she import fast
+    from alchemy_tpu.she.fast import FastParams
+
+    p = FastParams.make(10, 3, impl="pallas")
+    rng = np.random.default_rng(2)
+    s = fast.keygen(p, rng)
+    hb, ha = fast.relin_hint(p, s, rng)
+    cts = [fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
+           for _ in range(5)]                      # 5 > MAX_BATCH: chunks
+    ct_b = fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
+    batch_a = jnp.stack(cts)
+    batch_b = jnp.stack([ct_b] * 5)
+    out = mrk.mul_relin_pallas(p, batch_a, batch_b, hb, ha)
+    for i in range(5):
+        ref = mrk.mul_relin_pallas(p, cts[i], ct_b, hb, ha)
+        assert np.array_equal(np.asarray(out[i]), np.asarray(ref)), i
