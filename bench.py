@@ -50,21 +50,33 @@ def _timed_loop(step, state, min_seconds: float = 1.0):
         iters *= 2
 
 
-def bench_on(device, p, rng, min_seconds=1.0, batch: int = 1, chain: int = 1):
+def bench_on(device, p, rng, min_seconds=1.0, batch: int = 1, chain: int = 1,
+             ks: str = "trivgad"):
     """Throughput of ct mult+relin. `chain` fuses that many dependent
     mul_relin ops into ONE jitted XLA program — the north-star deep-circuit
     shape (BASELINE.json configs[3] is a depth-16 mul chain compiled whole;
-    per-op host dispatch is not part of that workload)."""
+    per-op host dispatch is not part of that workload). ks="hybrid" uses
+    hybrid key-switching (she/hybrid.py — dnum digit groups + special
+    modulus; pays off at deep chains, BENCH_NLIMB >= 12)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
     from alchemy_tpu.she import fast
 
     with jax.default_device(device):
-        s = fast.keygen(p, rng)
-        # the Mosaic kernel streams raw hints (no Shoup companion doubling
-        # of the HBM hint read); the jnp path prefers Shoup pairs
-        hb, ha = fast.relin_hint(p, s, rng, shoup=p.impl != "pallas")
+        if ks == "hybrid":
+            from alchemy_tpu.she.hybrid import (
+                HybridKS, hybrid_keygen_hint, mul_relin_hybrid)
+
+            hk = HybridKS.make(p)
+            s, (hb, ha) = hybrid_keygen_hint(hk, rng)
+            mul_fn = lambda pp, a, b, h0, h1: mul_relin_hybrid(hk, a, b, h0, h1)
+        else:
+            s = fast.keygen(p, rng)
+            # the Mosaic kernel streams raw hints (no Shoup companion
+            # doubling of the HBM hint read); jnp prefers Shoup pairs
+            hb, ha = fast.relin_hint(p, s, rng, shoup=p.impl != "pallas")
+            mul_fn = fast.mul_relin
         ct1 = fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
         ct2 = fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
         if batch > 1:
@@ -74,7 +86,7 @@ def bench_on(device, p, rng, min_seconds=1.0, batch: int = 1, chain: int = 1):
         @partial(jax.jit, static_argnums=0)
         def step(pp, a, o, b_h, a_h):
             for _ in range(chain):
-                o = fast.mul_relin(pp, a, o, b_h, a_h)
+                o = mul_fn(pp, a, o, b_h, a_h)
             return o
 
         out = step(p, ct1, ct2, hb, ha)  # compile + warm
@@ -116,6 +128,9 @@ def main():
     # chain>1 fuses dependent ops into one XLA program; measured SLOWER on
     # the tunneled v5e (buffer pressure beats dispatch savings) — default 1
     chain = int(os.environ.get("BENCH_CHAIN", "1"))
+    # "hybrid": dnum-grouped key-switching over a special modulus
+    # (she/hybrid.py) — the right choice at deep chains (BENCH_NLIMB >= 12)
+    ks = os.environ.get("BENCH_KS", "trivgad")
 
     # default on an accelerator: the fused Mosaic kernel (falls back to the
     # jnp MXU formulation where the kernel's tiling constraints don't hold)
@@ -129,8 +144,9 @@ def main():
         p = FastParams.make(log_n, nlimb, zp=2, impl="vpu")
     log(f"accelerator: {accel} | ring n=2^{log_n}, limbs={nlimb}, impl={p.impl}")
 
-    ops_accel, per_op = bench_on(accel, p, rng, secs, batch=batch, chain=chain)
-    log(f"mul_relin on {accel.platform} (batch={batch}, chain={chain}): "
+    ops_accel, per_op = bench_on(accel, p, rng, secs, batch=batch, chain=chain,
+                                 ks=ks)
+    log(f"mul_relin on {accel.platform} (batch={batch}, chain={chain}, ks={ks}): "
         f"{ops_accel:.2f} ops/s ({per_op*1e3:.3f} ms/op)")
 
     ntt_lat = bench_ntt(accel, p, secs)
@@ -144,7 +160,7 @@ def main():
 
             p_cpu = _FP.make(log_n, nlimb, zp=2, impl="vpu")
             ops_cpu, _ = bench_on(cpus[0], p_cpu, np.random.default_rng(0),
-                                  min(secs, 1.0), chain=chain)
+                                  min(secs, 1.0), chain=chain, ks=ks)
             log(f"mul_relin on cpu: {ops_cpu:.2f} ops/s")
             vs = ops_accel / ops_cpu
     except Exception as e:  # CPU backend may be unavailable under the driver
@@ -153,7 +169,8 @@ def main():
         vs = 1.0
 
     print(json.dumps({
-        "metric": f"bgv_mul_relin_ops_per_s_n2e{log_n}_L{nlimb}",
+        "metric": f"bgv_mul_relin_ops_per_s_n2e{log_n}_L{nlimb}"
+                  + ("_hybrid" if ks == "hybrid" else ""),
         "value": round(ops_accel, 3),
         "unit": "ops/s",
         "vs_baseline": round(vs, 3),

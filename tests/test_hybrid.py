@@ -1,0 +1,115 @@
+"""Hybrid key-switching (she/hybrid.py): Garner lifting, joint rescale, and
+the fused hybrid mul+relin, pinned by the decrypt-equals-plaintext oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from alchemy_tpu.backend import golden_backend
+from alchemy_tpu.core.cyc import Cyc
+from alchemy_tpu.she import fast
+from alchemy_tpu.she.fast import FastParams
+from alchemy_tpu.she.hybrid import (
+    HybridKS,
+    extend_digits,
+    garner_digits,
+    hybrid_keygen_hint,
+    mul_relin_hybrid,
+    pick_dnum,
+    rescale_joint,
+)
+
+GB = golden_backend()
+
+
+def test_garner_lift_exact():
+    chain = (97, 113, 193)
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 97 * 113 * 193, 64, dtype=np.int64)
+    res = jnp.asarray(np.stack([vals % g for g in chain]).astype(np.uint32))
+    xs = garner_digits(res, chain)
+    # V = sum x_k * pi_k, exact
+    pi = [1, 97, 97 * 113]
+    xs_np = [np.asarray(x).astype(np.int64) for x in xs]
+    lifted = sum(x * p for x, p in zip(xs_np, pi))
+    assert np.array_equal(lifted, vals)
+    # extension to unrelated targets
+    targets = (257, 241)
+    ext = np.asarray(extend_digits(xs, chain, targets)).astype(np.int64)
+    for t_i, t in enumerate(targets):
+        assert np.array_equal(ext[t_i], vals % t)
+
+
+def test_rescale_joint_matches_iterated():
+    p = FastParams.make(5, 4, zp=2)
+    rng = np.random.default_rng(1)
+    s = fast.keygen(p, rng)
+    msg = rng.integers(0, 2, p.n)
+    ct = fast.encrypt(p, s, msg, rng)
+    out_j = rescale_joint(p, ct, 2)
+    p2 = FastParams(n=p.n, qs=p.qs[:2], zp=2, impl=p.impl)
+    # same plaintext after dropping two limbs jointly
+    dec = fast.decrypt(p2, s[:2], out_j)
+    assert np.array_equal(dec, msg)
+    # k_drop=1 agrees bit-exactly with the iterated rescale
+    assert np.array_equal(
+        np.asarray(rescale_joint(p, ct, 1)), np.asarray(fast.rescale(p, ct, 1))
+    )
+
+
+@pytest.mark.parametrize("dnum", [2, 4])
+def test_hybrid_mul_relin_decrypts(dnum):
+    p = FastParams.make(5, 8, zp=2, bits=24)
+    hk = HybridKS.make(p, dnum=dnum, bits=24)
+    rng = np.random.default_rng(2 + dnum)
+    s, (hb, ha) = hybrid_keygen_hint(hk, rng)
+    m1 = rng.integers(0, 2, p.n)
+    m2 = rng.integers(0, 2, p.n)
+    ct1 = fast.encrypt(p, s, m1, rng)
+    ct2 = fast.encrypt(p, s, m2, rng)
+    out = mul_relin_hybrid(hk, ct1, ct2, hb, ha)
+    mm = 2 * p.n
+    c1 = Cyc.from_coeffs(mm, (2,), m1, GB)
+    c2 = Cyc.from_coeffs(mm, (2,), m2, GB)
+    want = GB.to_numpy((c1 * c2).to_pow().data)[0]
+    assert np.array_equal(fast.decrypt(p, s, out), want)
+
+
+def test_hybrid_matches_trivgad_plaintext():
+    """Hybrid and TrivGad relinearization agree on the decrypted product
+    (ciphertext bits differ — different KS noise — the plaintext must not)."""
+    p = FastParams.make(5, 4, zp=2, bits=24)
+    hk = HybridKS.make(p, bits=24)
+    rng = np.random.default_rng(7)
+    s, (hb, ha) = hybrid_keygen_hint(hk, rng)
+    tb, ta = fast.relin_hint(p, s, np.random.default_rng(8))
+    m1 = rng.integers(0, 2, p.n)
+    m2 = rng.integers(0, 2, p.n)
+    ct1 = fast.encrypt(p, s, m1, rng)
+    ct2 = fast.encrypt(p, s, m2, rng)
+    d_h = fast.decrypt(p, s, mul_relin_hybrid(hk, ct1, ct2, hb, ha))
+    d_t = fast.decrypt(p, s, fast.mul_relin(p, ct1, ct2, tb, ta))
+    assert np.array_equal(d_h, d_t)
+
+
+def test_hybrid_batched():
+    p = FastParams.make(5, 4, zp=2, bits=24)
+    hk = HybridKS.make(p, bits=24)
+    rng = np.random.default_rng(9)
+    s, (hb, ha) = hybrid_keygen_hint(hk, rng)
+    msgs = [rng.integers(0, 2, p.n) for _ in range(3)]
+    cts = jnp.stack([fast.encrypt(p, s, m, rng) for m in msgs])
+    out = mul_relin_hybrid(hk, cts, cts, hb, ha)
+    assert out.shape == cts.shape
+    mm = 2 * p.n
+    for i, m in enumerate(msgs):
+        c = Cyc.from_coeffs(mm, (2,), m, GB)
+        want = GB.to_numpy((c * c).to_pow().data)[0]
+        assert np.array_equal(fast.decrypt(p, s, out[i]), want)
+
+
+def test_pick_dnum():
+    assert pick_dnum(8) == 2
+    assert pick_dnum(16) == 4
+    assert pick_dnum(3) == 1
