@@ -38,9 +38,10 @@ def expected_square_chain_mod2(msg: np.ndarray, n: int, depth: int) -> np.ndarra
 
 
 def run(log_n: int = 9, depth: int = 16, seed: int = 0, verbose: bool = True,
-        impl: str | None = None):
+        impl: str | None = None, ks: str = "trivgad"):
     """Returns (ok, levels) — decrypt-correct after `depth` mul+relin+rescale
-    levels."""
+    levels. ks="hybrid" relinearizes with dnum-grouped hybrid key-switching
+    (she/hybrid.py) — the cheaper choice at this workload's deep chains."""
     kwargs = {} if impl is None else {"impl": impl}
     p = FastParams.make(log_n, depth + 2, zp=2, **kwargs)
     rng = np.random.default_rng(seed)
@@ -61,9 +62,17 @@ def run(log_n: int = 9, depth: int = 16, seed: int = 0, verbose: bool = True,
 
     cur_p = p
     for level in range(depth):
-        sl = key_at(cur_p)
-        hb, ha = fast.relin_hint(cur_p, sl, rng, shoup=True)
-        ct = fast.mul_relin(cur_p, ct, ct, hb, ha)
+        if ks == "hybrid":
+            from alchemy_tpu.she.hybrid import (
+                HybridKS, hybrid_relin_hint, mul_relin_hybrid)
+
+            hk = HybridKS.make(cur_p)
+            hb, ha = hybrid_relin_hint(hk, s_int, rng)
+            ct = mul_relin_hybrid(hk, ct, ct, hb, ha)
+        else:
+            sl = key_at(cur_p)
+            hb, ha = fast.relin_hint(cur_p, sl, rng, shoup=True)
+            ct = fast.mul_relin(cur_p, ct, ct, hb, ha)
         ct = fast.rescale(cur_p, ct, 1)
         cur_p = FastParams(n=cur_p.n, qs=cur_p.qs[:-1], zp=cur_p.zp, impl=cur_p.impl)
         if verbose:
@@ -84,5 +93,6 @@ if __name__ == "__main__":
     ok, _ = run(
         log_n=int(os.environ.get("DEEP_LOG_N", "13")),
         depth=int(os.environ.get("DEEP_DEPTH", "16")),
+        ks=os.environ.get("DEEP_KS", "trivgad"),
     )
     sys.exit(0 if ok else 1)

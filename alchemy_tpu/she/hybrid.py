@@ -240,10 +240,19 @@ def hybrid_keygen_hint(hk: HybridKS, rng: np.random.Generator,
     """Secret key (NTT domain at the base chain, fast.keygen-compatible)
     plus the hybrid relinearization hint (B, A), each [dnum, T, n] in the
     NTT domain at the extended chain: B_j + A_j·s = P·ĝ_j·s² + zp·e_j."""
+    s = gaussian_coeffs(rng, variance, hk.p.n)
+    s_ntt = _ntt_p(hk.p, jnp.asarray(
+        np.stack([s % q for q in hk.p.qs]).astype(np.uint32)))
+    return s_ntt, hybrid_relin_hint(hk, s, rng, hint_variance)
+
+
+def hybrid_relin_hint(hk: HybridKS, s_coeffs: np.ndarray,
+                      rng: np.random.Generator, hint_variance: float = 1.0):
+    """Hybrid relinearization hint for a given secret key (centered integer
+    coefficients): (B, A) each [dnum, T, n], NTT domain, extended chain."""
     p, pe = hk.p, hk.pe
     n = p.n
-    s = gaussian_coeffs(rng, variance, n)
-    s_ntt = _ntt_p(p, jnp.asarray(np.stack([s % q for q in p.qs]).astype(np.uint32)))
+    s = np.asarray(s_coeffs, dtype=np.int64)
     s_e = _ntt_p(pe, jnp.asarray(np.stack([s % q for q in pe.qs]).astype(np.uint32)))
     s2_e = mulmod(s_e, s_e, pe.qs)
 
@@ -275,7 +284,7 @@ def hybrid_keygen_hint(hk: HybridKS, rng: np.random.Generator,
             mulmod(a, s_e, pe.qs), pe)
         Bs.append(b)
         As.append(a)
-    return s_ntt, (jnp.stack(Bs), jnp.stack(As))
+    return jnp.stack(Bs), jnp.stack(As)
 
 
 @partial(jax.jit, static_argnums=0)

@@ -113,3 +113,12 @@ def test_pick_dnum():
     assert pick_dnum(8) == 2
     assert pick_dnum(16) == 4
     assert pick_dnum(3) == 1
+
+
+def test_deep_circuit_hybrid():
+    """Depth-4 squaring chain with hybrid relinearization per level
+    (the BASELINE configs[3] workload shape)."""
+    from alchemy_tpu.examples.deep_circuit import run
+
+    ok, _ = run(log_n=5, depth=4, verbose=False, ks="hybrid")
+    assert ok
