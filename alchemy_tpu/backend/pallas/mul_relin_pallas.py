@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from alchemy_tpu.backend.ntt_mxu3 import mxu3_tables
+from alchemy_tpu.backend.xla import shoup_const
 from alchemy_tpu.backend.pallas.ntt_pallas import (
     _M16,
     _mod_matmul,
@@ -248,9 +249,10 @@ def _batch_spec(bt, shape):
                         memory_space=pltpu.VMEM)
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
-    """One fused call over a static batch [Bt, 2, L, n] (Bt ≤ MAX_BATCH)."""
+def _tensor_intt_call(p, ct_a, ct_b):
+    """Kernel A: tensor product + iNTT(c2) over the base chain. Returns
+    (c0, c1) as [Bt, L, A, Br] NTT-domain grids and c2c [Bt, A, L·Br]
+    packed coefficient blocks (limb-major columns)."""
     n, qs = p.n, p.qs
     L = len(qs)
     t = _pallas3_tables(n, qs)
@@ -264,7 +266,7 @@ def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
     b1 = ct_b[:, 1].reshape(g)
     smem = pl.BlockSpec((L, 5), lambda l: (0, 0), memory_space=pltpu.SMEM)
 
-    c0, c1, c2c = pl.pallas_call(
+    return pl.pallas_call(
         partial(_tensor_intt_kernel, r=r, B=B, bt=Bt, nlimb=L),
         grid=(L,),
         in_specs=[
@@ -285,6 +287,19 @@ def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
             jax.ShapeDtypeStruct((Bt, A, L * Br), jnp.uint32),
         ],
     )(t["scal"], a0, a1, b0, b1, *t["w2if"], t["Ti"], t["Ti_s"], t["w1i"])
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
+    """One fused call over a static batch [Bt, 2, L, n] (Bt ≤ MAX_BATCH)."""
+    n, qs = p.n, p.qs
+    L = len(qs)
+    t = _pallas3_tables(n, qs)
+    A, B, r = t["A"], t["B"], t["r"]
+    Br = B * r
+    Bt = ct_a.shape[0]
+    smem = pl.BlockSpec((L, 5), lambda l: (0, 0), memory_space=pltpu.SMEM)
+    c0, c1, c2c = _tensor_intt_call(p, ct_a, ct_b)
 
     hb = hint_b.reshape(L, L, A, Br)
     ha = hint_a.reshape(L, L, A, Br)
@@ -309,6 +324,143 @@ def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
     )(t["scal"], c2c, c0, c1, t["w1"], t["T"], t["T_s"],
       *t["w2f"], hb, ha)
     return jnp.moveaxis(out.reshape(2, Bt, L, n), 0, 1)
+
+
+def _hybrid_digit_relin_kernel(scalars_ref, extw_ref, extws_ref, x_ref,
+                               w1_ref, t_ref, t_s_ref, *rest_refs,
+                               gidx: tuple, r: int, B: int, bt: int):
+    """Per-extended-limb forward NTTs of the dnum hybrid digits + hint inner
+    product (she/hybrid.py dataflow). Hybrid digits are limb-DEPENDENT
+    (D_j < Q_j overflows u32), so the unreduced-digit trick of
+    _digit_relin_kernel does not apply directly; instead x_ref packs the
+    limb-independent Garner digit vectors x_{j,k} [Bt, A, nxs·Br] and the
+    per-limb digit residues Σ_k x_{j,k}·[π_k]_{q_l} are built in VMEM from
+    SMEM constants (a few Shoup mults), then the same wide-dot NTT stages
+    run with D = dnum digits, accumulating from zero (c0/c1 join after the
+    P-rescale)."""
+    ndig = len(gidx)
+    w2f_refs = rest_refs[:r]
+    hb_ref, ha_ref, out_ref = rest_refs[r], rest_refs[r + 1], rest_refs[r + 2]
+    ext_scr = rest_refs[r + 3]
+    scr_refs = rest_refs[r + 4:r + 4 + r]
+    l = pl.program_id(0)
+    q = scalars_ref[l, 0]
+    r16 = scalars_ref[l, 1]
+    r16s = scalars_ref[l, 2]
+    r32 = scalars_ref[l, 3]
+    r32s = scalars_ref[l, 4]
+    w1 = [[w1_ref[0, d, f] for f in range(4)] for d in range(4)]
+    w2f = [
+        [[w2f_refs[k3][0, d, f] for f in range(4)] for d in range(4)]
+        for k3 in range(r)
+    ]
+    Br = r * B
+    for b_i in range(bt):
+        # base extension: digit j's residues mod q_l from its Garner vectors
+        for j, (st, cnt) in enumerate(gidx):
+            acc = None
+            for k in range(cnt):
+                xk = x_ref[b_i, :, (st + k) * Br:(st + k + 1) * Br]
+                term = _shoup(xk, extw_ref[l, st + k], extws_ref[l, st + k], q)
+                acc = term if acc is None else _addmod(acc, term, q)
+            ext_scr[:, j * Br:(j + 1) * Br] = acc
+        # stage 1 for ALL digits at once on the extension block
+        y = _mod_matmul(_planes(ext_scr[...]), w1, q, r16, r16s, r32, r32s,
+                        left=True)
+        A = y.shape[0]
+        for d in range(ndig):
+            yd = _shoup(y[:, d * Br:(d + 1) * Br], t_ref[0], t_s_ref[0], q)
+            if r == 2:
+                lo, hi = yd[:, :B], yd[:, B:]
+                blocks = [_addmod(lo, hi, q), _submod(lo, hi, q)]
+            else:
+                blocks = [yd]
+            for k3 in range(r):
+                scr_refs[k3][d * A:(d + 1) * A, :] = blocks[k3]
+        out0 = [jnp.zeros((A, B), U32) for _ in range(r)]
+        out1 = [jnp.zeros((A, B), U32) for _ in range(r)]
+        for k3 in range(r):
+            z = _mod_matmul(_planes(scr_refs[k3][...]), w2f[k3],
+                            q, r16, r16s, r32, r32s, left=False)
+            for d in range(ndig):
+                zd = z[d * A:(d + 1) * A, :]
+                hb = hb_ref[d, 0][:, k3 * B:(k3 + 1) * B]
+                ha = ha_ref[d, 0][:, k3 * B:(k3 + 1) * B]
+                out0[k3] = _addmod(
+                    out0[k3], _mulmod_gen(zd, hb, q, r16, r16s, r32, r32s), q)
+                out1[k3] = _addmod(
+                    out1[k3], _mulmod_gen(zd, ha, q, r16, r16s, r32, r32s), q)
+        for k3 in range(r):
+            out_ref[0, b_i, 0, :, k3 * B:(k3 + 1) * B] = out0[k3]
+            out_ref[1, b_i, 0, :, k3 * B:(k3 + 1) * B] = out1[k3]
+
+
+@lru_cache(maxsize=None)
+def _hybrid_ext_consts(groups: tuple[tuple[int, ...], ...],
+                       targets: tuple[int, ...]):
+    """SMEM tables [T, nxs]: [π_k^{(j)}]_{q_t} and Shoup companions, for the
+    packed Garner digit columns (group-major)."""
+    pis = []
+    for grp in groups:
+        pi = 1
+        for g in grp:
+            pis.append(pi)
+            pi *= g
+    w = np.array([[p % q for p in pis] for q in targets], dtype=np.uint32)
+    ws = np.array(
+        [[shoup_const(p % q, q) for p in pis] for q in targets],
+        dtype=np.uint32)
+    return w, ws
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def hybrid_digit_stage_pallas(n: int, ext_qs: tuple[int, ...],
+                              groups: tuple[tuple[int, ...], ...],
+                              x_pack, hint_b, hint_a):
+    """Digit NTTs + hint inner product over the extended chain for hybrid
+    key-switching: x_pack [Bt, A, nxs·Br] Garner digit vectors (3-factor
+    grid layout, group-major columns), hints [dnum, T, n] NTT domain →
+    [2, Bt, T, n] at the extended chain (pre-P-rescale accumulator)."""
+    t = _pallas3_tables(n, ext_qs)
+    A, B, r = t["A"], t["B"], t["r"]
+    Br = B * r
+    T = len(ext_qs)
+    Bt = x_pack.shape[0]
+    ndig = len(groups)
+    gidx = []
+    st = 0
+    for grp in groups:
+        gidx.append((st, len(grp)))
+        st += len(grp)
+    nxs = st
+    w, ws = _hybrid_ext_consts(groups, ext_qs)
+    smem = pl.BlockSpec((T, 5), lambda l: (0, 0), memory_space=pltpu.SMEM)
+    smem_ext = pl.BlockSpec((T, nxs), lambda l: (0, 0),
+                            memory_space=pltpu.SMEM)
+    hb = hint_b.reshape(ndig, T, A, Br)
+    ha = hint_a.reshape(ndig, T, A, Br)
+    dig_spec = pl.BlockSpec((ndig, 1, A, Br), lambda l: (0, l, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_hybrid_digit_relin_kernel, gidx=tuple(gidx), r=r, B=B,
+                bt=Bt),
+        grid=(T,),
+        in_specs=[
+            smem, smem_ext, smem_ext,
+            _full_spec((Bt, A, nxs * Br)),
+            _limb_spec((4, 4, A, A)),
+            _limb_spec((A, Br)), _limb_spec((A, Br)),
+            *[_limb_spec((4, 4, B, B)) for _ in range(r)],
+            dig_spec, dig_spec,
+        ],
+        out_specs=pl.BlockSpec((2, Bt, 1, A, Br), lambda l: (0, 0, l, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, Bt, T, A, Br), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((A, ndig * Br), jnp.uint32)]
+        + [pltpu.VMEM((ndig * A, B), jnp.uint32) for _ in range(r)],
+    )(t["scal"], w, ws, x_pack, t["w1"], t["T"], t["T_s"],
+      *t["w2f"], hb, ha)
+    return out.reshape(2, Bt, T, n)
 
 
 def mul_relin_pallas(p, ct_a, ct_b, hint_b, hint_a):

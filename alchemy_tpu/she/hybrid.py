@@ -291,10 +291,16 @@ def hybrid_relin_hint(hk: HybridKS, s_coeffs: np.ndarray,
 def mul_relin_hybrid(hk: HybridKS, ct_a, ct_b, hint_b, hint_a):
     """Fused BGV multiply + hybrid relinearization: [..., 2, L, n] cts in
     the NTT domain at the base chain → same. Bit-exact semantics (decrypt
-    equals the plaintext product — the §4 differential oracle)."""
+    equals the plaintext product — the §4 differential oracle). With
+    impl="pallas" (and the Mosaic tiling constraints met) the tensor
+    product and the digit-NTT+hint stage run as fused VMEM-resident
+    kernels, bit-identical to the jnp formulation."""
     p, pe = hk.p, hk.pe
     qs = p.qs
     L = len(qs)
+    if (p.impl == "pallas" and ct_a.ndim in (3, 4) and p.n % 16384 == 0
+            and p.n // 16384 in (1, 2)):
+        return _mul_relin_hybrid_pallas(hk, ct_a, ct_b, hint_b, hint_a)
     a0, a1 = ct_a[..., 0, :, :], ct_a[..., 1, :, :]
     b0, b1 = ct_b[..., 0, :, :], ct_b[..., 1, :, :]
     c0 = mulmod(a0, b0, qs)
@@ -324,3 +330,49 @@ def mul_relin_hybrid(hk: HybridKS, ct_a, ct_b, hint_b, hint_a):
     out0 = _add(c0, r01[..., 0, :, :], p)
     out1 = _add(c1, r01[..., 1, :, :], p)
     return jnp.stack([out0, out1], axis=-3)
+
+
+def _mul_relin_hybrid_pallas(hk: HybridKS, ct_a, ct_b, hint_b, hint_a):
+    """Pallas path: kernel A (tensor product + iNTT c2, shared with
+    mul_relin_pallas), jnp Garner digits (cheap elementwise), the fused
+    hybrid digit-NTT+hint kernel (backend/pallas/mul_relin_pallas.py —
+    base extension in VMEM, D = dnum wide-dot NTT stages), then the joint
+    P-rescale. Bit-identical to the jnp formulation above."""
+    from alchemy_tpu.backend.pallas.mul_relin_pallas import (
+        MAX_BATCH,
+        _tensor_intt_call,
+        hybrid_digit_stage_pallas,
+    )
+
+    p, pe = hk.p, hk.pe
+    L, n = len(p.qs), p.n
+    unbatched = ct_a.ndim == 3
+    if unbatched:
+        ct_a, ct_b = ct_a[None], ct_b[None]
+    Bt = ct_a.shape[0]
+    if Bt > MAX_BATCH:
+        outs = [
+            _mul_relin_hybrid_pallas(
+                hk, ct_a[s:s + MAX_BATCH], ct_b[s:s + MAX_BATCH],
+                hint_b, hint_a)
+            for s in range(0, Bt, MAX_BATCH)
+        ]
+        return jnp.concatenate(outs, axis=0)
+
+    c0g, c1g, c2c = _tensor_intt_call(p, ct_a, ct_b)
+    A = c2c.shape[1]
+    Br = n // A
+    resh = c2c.reshape(Bt, A, L, Br)
+    xs_all = []
+    off = 0
+    for grp in hk.groups:
+        xs_all.extend(garner_digits(resh[..., off:off + len(grp), :], grp))
+        off += len(grp)
+    x_pack = jnp.concatenate(xs_all, axis=-1)
+    t01 = hybrid_digit_stage_pallas(n, pe.qs, hk.groups, x_pack,
+                                    hint_b, hint_a)
+    r01 = rescale_joint(pe, t01, len(hk.ps))        # [2, Bt, L, n]
+    out0 = _add(c0g.reshape(Bt, L, n), r01[0], p)
+    out1 = _add(c1g.reshape(Bt, L, n), r01[1], p)
+    out = jnp.stack([out0, out1], axis=1)
+    return out[0] if unbatched else out

@@ -149,3 +149,31 @@ def test_pallas_mul_relin_batched(monkeypatch):
     for i in range(5):
         ref = mrk.mul_relin_pallas(p, cts[i], ct_b, hb, ha)
         assert np.array_equal(np.asarray(out[i]), np.asarray(ref)), i
+
+
+def test_pallas_hybrid_mul_relin_interpret_bit_identical(monkeypatch):
+    """The fused hybrid digit-NTT+hint kernel path matches the jnp hybrid
+    formulation bit-for-bit (and still decrypts to the plaintext product)."""
+    mrk = _patch_interpret_mr(monkeypatch)
+    from alchemy_tpu.she import fast
+    from alchemy_tpu.she.fast import FastParams
+    from alchemy_tpu.she.hybrid import (
+        HybridKS,
+        _mul_relin_hybrid_pallas,
+        hybrid_keygen_hint,
+        mul_relin_hybrid,
+    )
+
+    p = FastParams.make(10, 4, zp=2, impl="pallas", bits=24)
+    hk = HybridKS.make(p, bits=24)
+    rng = np.random.default_rng(5)
+    s, (hb, ha) = hybrid_keygen_hint(hk, rng)
+    ct1 = fast.encrypt(p, s, rng.integers(0, 2, p.n), rng)
+    ct2 = fast.encrypt(p, s, rng.integers(0, 2, p.n), rng)
+    # n < 2^14, so mul_relin_hybrid takes the jnp path — the reference
+    ref = mul_relin_hybrid(hk, ct1, ct2, hb, ha)
+    out = _mul_relin_hybrid_pallas(hk, ct1, ct2, hb, ha)
+    assert np.array_equal(np.asarray(ref), np.asarray(out))
+    d1 = fast.decrypt(p, s, out)
+    d2 = fast.decrypt(p, s, ref)
+    assert np.array_equal(d1, d2)
