@@ -142,8 +142,10 @@ def rescale_joint(p: FastParams, ct, k_drop: int):
     qs = p.qs
     keep, drop = qs[:-k_drop], qs[-k_drop:]
     pz = p.zp
-    if pz & (pz - 1):
-        raise ValueError("rescale_joint requires a power-of-two zp")
+    if pz & (pz - 1) or pz > (1 << 16):
+        # the V-mod-zp accumulator below multiplies two values < zp in
+        # uint32 lanes — zp ≤ 2^16 keeps the product exact
+        raise ValueError("rescale_joint requires a power-of-two zp <= 2^16")
     P = 1
     for g in drop:
         P *= g
@@ -211,14 +213,36 @@ class HybridKS:
 
     @staticmethod
     def make(p: FastParams, dnum: int | None = None, k_sp: int | None = None,
-             bits: int = 30) -> "HybridKS":
+             bits: int | None = None) -> "HybridKS":
         L = len(p.qs)
         dnum = pick_dnum(L) if dnum is None else dnum
         alpha = -(-L // dnum)
+        # normalize: the digit count is the GROUP count ⌈L/α⌉, which can be
+        # smaller than a caller-supplied dnum (e.g. dnum=3 at L=4 → α=2 →
+        # 2 groups); every loop below must agree with len(groups)
+        dnum = -(-L // alpha)
         k_sp = alpha if k_sp is None else k_sp
-        ps: list[int] = []
-        while len(ps) < k_sp:
-            ps.append(find_ntt_prime(2 * p.n, bits, avoid=tuple(p.qs) + tuple(ps)))
+        # the hybrid noise bound needs P ≥ max Q_j — start the special
+        # primes at the chain's own width and widen until it holds
+        if bits is None:
+            bits = max(q.bit_length() for q in p.qs)
+        max_Qj = 0
+        for i in range(0, L, alpha):
+            Qj = 1
+            for g in p.qs[i:i + alpha]:
+                Qj *= g
+            max_Qj = max(max_Qj, Qj)
+        while True:
+            ps: list[int] = []
+            while len(ps) < k_sp:
+                ps.append(
+                    find_ntt_prime(2 * p.n, bits, avoid=tuple(p.qs) + tuple(ps)))
+            P = 1
+            for g in ps:
+                P *= g
+            if P >= max_Qj or bits >= 31:
+                break
+            bits += 1
         return HybridKS(p=p, dnum=dnum, ps=tuple(ps))
 
     @property
@@ -319,7 +343,7 @@ def mul_relin_hybrid(hk: HybridKS, ct_a, ct_b, hint_b, hint_a):
     dig_ntt = _ntt_p(pe, dig)
 
     t0 = t1 = None
-    for j in range(hk.dnum):
+    for j in range(len(hk.groups)):
         d = dig_ntt[..., j, :, :]
         u0 = mulmod(d, hint_b[j], pe.qs)
         u1 = mulmod(d, hint_a[j], pe.qs)

@@ -122,3 +122,51 @@ def test_deep_circuit_hybrid():
 
     ok, _ = run(log_n=5, depth=4, verbose=False, ks="hybrid")
     assert ok
+
+
+def test_hybrid_explicit_dnum_normalized():
+    """A caller-supplied dnum that exceeds the group count must be
+    normalized (ADVICE r2: clamped jnp indexing silently double-counted the
+    last digit and decrypted WRONG) — and still decrypt correctly."""
+    p = FastParams.make(5, 4, zp=2, bits=24)
+    hk = HybridKS.make(p, dnum=3, bits=24)
+    assert hk.dnum == len(hk.groups)
+    rng = np.random.default_rng(11)
+    s, (hb, ha) = hybrid_keygen_hint(hk, rng)
+    m1 = rng.integers(0, 2, p.n)
+    m2 = rng.integers(0, 2, p.n)
+    ct1 = fast.encrypt(p, s, m1, rng)
+    ct2 = fast.encrypt(p, s, m2, rng)
+    out = mul_relin_hybrid(hk, ct1, ct2, hb, ha)
+    mm = 2 * p.n
+    c1 = Cyc.from_coeffs(mm, (2,), m1, GB)
+    c2 = Cyc.from_coeffs(mm, (2,), m2, GB)
+    want = GB.to_numpy((c1 * c2).to_pow().data)[0]
+    assert np.array_equal(fast.decrypt(p, s, out), want)
+
+
+def test_hybrid_default_bits_cover_chain():
+    """Default special-modulus width follows the chain's prime width so the
+    hybrid noise condition P >= max Q_j holds (ADVICE r2)."""
+    p = FastParams.make(5, 4, zp=2, bits=24)
+    hk = HybridKS.make(p)
+    assert all(g.bit_length() >= max(q.bit_length() for q in p.qs)
+               for g in hk.ps)
+    maxQ = 1
+    for grp in hk.groups:
+        Qj = 1
+        for g in grp:
+            Qj *= g
+        maxQ = max(maxQ, Qj)
+    P = 1
+    for g in hk.ps:
+        P *= g
+    assert P >= maxQ
+
+
+def test_rescale_joint_rejects_wide_zp():
+    p = FastParams.make(5, 4, zp=2, bits=24)
+    with pytest.raises(ValueError):
+        rescale_joint(
+            FastParams(n=p.n, qs=p.qs, zp=1 << 17, impl=p.impl),
+            jnp.zeros((2, 4, p.n), jnp.uint32), 1)
