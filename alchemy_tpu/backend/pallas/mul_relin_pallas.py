@@ -6,8 +6,8 @@ fraction is MXU matmuls — the rest is elementwise fusions shuttling the
 [D, L, n] digit tensor, its bf16 digit planes, and the plane sums through
 HBM between XLA fusions. These kernels keep the whole relinearization
 dataflow VMEM-resident AND use the 3-factor NTT (backend/ntt_mxu3.py:
-n = 128·128·r, r ∈ {1, 2}) whose MXU cost is n·256 base MACs per limb
-transform vs n·384 for the 2-factor split at 2^15:
+n = 128·128·r, r ∈ {1, 2, 4} — i.e. rings 2^14, 2^15, 2^16) whose MXU cost
+is n·256 base MACs per limb transform vs n·384 for the 2-factor split:
 
   kernel A (grid over limbs d):  c0/c1/c2 tensor product (general modmuls —
       exact canonical residues, so bit-identical to the jnp path regardless
@@ -77,19 +77,42 @@ def _submod(a, b, q):
     return jnp.where(a >= b, a - b, a + q - b)
 
 
+def _dft4(blocks, i_v, i_s, q):
+    """Radix-4 DFT over 4 [..., B] blocks with the order-4 root i (i² = −1
+    mod q, so only the odd-difference arm needs a real mulmod: 1 Shoup mult
+    + 8 add/sub per butterfly). For the inverse pass i_v is i⁻¹ = −i."""
+    b0, b1, b2, b3 = blocks
+    e0 = _addmod(b0, b2, q)
+    e1 = _submod(b0, b2, q)
+    o0 = _addmod(b1, b3, q)
+    o1 = _submod(b1, b3, q)
+    io1 = _shoup(o1, i_v, i_s, q)
+    return [_addmod(e0, o0, q), _addmod(e1, io1, q),
+            _submod(e0, o0, q), _submod(e1, io1, q)]
+
+
 @lru_cache(maxsize=None)
 def _pallas3_tables(n: int, qs: tuple[int, ...]):
     """Host bf16/u32 tables for the 3-factor kernels (cached numpy)."""
     t = mxu3_tables(n, qs)
-    if t["r"] not in (1, 2):
-        raise ValueError(f"pallas mul_relin supports r in (1, 2); n={n}")
+    if t["r"] not in (1, 2, 4):
+        raise ValueError(f"pallas mul_relin supports r in (1, 2, 4); n={n}")
     L = len(qs)
-    scal = np.zeros((L, 5), dtype=np.uint32)
+    # columns 0-4: q, r16, r16s, r32, r32s; columns 5-8 (r=4 only): the
+    # order-4 root i = u^B and i⁻¹ = −i with their Shoup companions
+    scal = np.zeros((L, 9), dtype=np.uint32)
     scal[:, 0] = t["q"][:, 0, 0]
     scal[:, 1] = t["r16"][:, 0, 0]
     scal[:, 2] = t["r16s"][:, 0, 0]
     scal[:, 3] = t["r32"][:, 0, 0]
     scal[:, 4] = t["r32s"][:, 0, 0]
+    if t["r"] == 4:
+        urth, urth_s = t["urth"]
+        urth_i, urth_is = t["urth_i"]
+        scal[:, 5] = urth[:, 1, 1]
+        scal[:, 6] = urth_s[:, 1, 1]
+        scal[:, 7] = urth_i[:, 1, 1]
+        scal[:, 8] = urth_is[:, 1, 1]
 
     import ml_dtypes
 
@@ -157,10 +180,12 @@ def _tensor_intt_kernel(scalars_ref, a0_ref, a1_ref, b0_ref, b1_ref,
             blk = _mod_matmul(_planes(c2[:, k3 * B:(k3 + 1) * B]), w2if[k3],
                               q, r16, r16s, r32, r32s, left=False)
             blocks.append(blk)
-        # undo DFT_r (r <= 2: plain sum/difference)
+        # undo DFT_r (r = 2: plain sum/difference; r = 4: i⁻¹ butterfly)
         if r == 2:
             blocks = [_addmod(blocks[0], blocks[1], q),
                       _submod(blocks[0], blocks[1], q)]
+        elif r == 4:
+            blocks = _dft4(blocks, scalars_ref[l, 7], scalars_ref[l, 8], q)
         # inverse big twiddle + inverse stage 1, per j3 block (the left dot
         # distributes over column blocks — no lane concat needed)
         for j3 in range(r):
@@ -195,20 +220,33 @@ def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref, w1_ref,
     ]
     D = ndig
     Br = r * B
+    # stage-1 dots run over digit GROUPS of ≤ 2048 lanes: the digit-plane
+    # matmul's live f32 plane sums are 4·A·width·4 bytes, so an unchunked
+    # [A, D·Br] dot blows scoped VMEM at D·Br > 2048 (2^16 rings, L=16
+    # deep chains); chunking keeps the peak at the 2^15/L=8 level
+    dchunk = max(1, 2048 // Br)
     for b_i in range(bt):
-        # stage 1 for ALL digits at once: [A, A] @ [A, D·B·r]
-        y = _mod_matmul(_planes(c2c_ref[b_i]), w1, q, r16, r16s, r32, r32s,
-                        left=True)
-        A = y.shape[0]
-        for d in range(D):
-            yd = _shoup(y[:, d * Br:(d + 1) * Br], t_ref[0], t_s_ref[0], q)
-            if r == 2:
-                lo, hi = yd[:, :B], yd[:, B:]
-                blocks = [_addmod(lo, hi, q), _submod(lo, hi, q)]
-            else:
-                blocks = [yd]
-            for k3 in range(r):
-                scr_refs[k3][d * A:(d + 1) * A, :] = blocks[k3]
+        A = scr_refs[0].shape[0] // D
+        for d0 in range(0, D, dchunk):
+            dc = min(dchunk, D - d0)
+            y = _mod_matmul(
+                _planes(c2c_ref[b_i, :, d0 * Br:(d0 + dc) * Br]), w1,
+                q, r16, r16s, r32, r32s, left=True)
+            for di in range(dc):
+                d = d0 + di
+                yd = _shoup(y[:, di * Br:(di + 1) * Br], t_ref[0], t_s_ref[0],
+                            q)
+                if r == 2:
+                    lo, hi = yd[:, :B], yd[:, B:]
+                    blocks = [_addmod(lo, hi, q), _submod(lo, hi, q)]
+                elif r == 4:
+                    blocks = _dft4(
+                        [yd[:, k * B:(k + 1) * B] for k in range(4)],
+                        scalars_ref[l, 5], scalars_ref[l, 6], q)
+                else:
+                    blocks = [yd]
+                for k3 in range(r):
+                    scr_refs[k3][d * A:(d + 1) * A, :] = blocks[k3]
         out0 = [c0_ref[b_i, 0][:, k3 * B:(k3 + 1) * B] for k3 in range(r)]
         out1 = [c1_ref[b_i, 0][:, k3 * B:(k3 + 1) * B] for k3 in range(r)]
         for k3 in range(r):
@@ -244,6 +282,16 @@ def _full_spec(shape):
 MAX_BATCH = 4
 
 
+def max_batch(n: int, L: int) -> int:
+    """Per-call ciphertext cap so kernel B's VMEM working set fits: hints +
+    digit scratch + tables are batch-independent; c2c/c0/c1/out scale with
+    the batch. 4 cts fit at the 2^15/L=8 config; 2^16/L=8 runs 1 per call."""
+    fixed = 4 * n * L * 3 + (3 << 20)       # 2 hint slices + scratch + tables
+    per_ct = 4 * n * (L + 4)                # c2c block + c0/c1 + out
+    avail = (14 << 20) - fixed              # headroom under the 16 MB VMEM
+    return max(1, min(MAX_BATCH, avail // per_ct))
+
+
 def _batch_spec(bt, shape):
     return pl.BlockSpec((bt, 1, *shape), lambda l: (0, l, *([0] * len(shape))),
                         memory_space=pltpu.VMEM)
@@ -264,7 +312,7 @@ def _tensor_intt_call(p, ct_a, ct_b):
     a1 = ct_a[:, 1].reshape(g)
     b0 = ct_b[:, 0].reshape(g)
     b1 = ct_b[:, 1].reshape(g)
-    smem = pl.BlockSpec((L, 5), lambda l: (0, 0), memory_space=pltpu.SMEM)
+    smem = pl.BlockSpec((L, 9), lambda l: (0, 0), memory_space=pltpu.SMEM)
 
     return pl.pallas_call(
         partial(_tensor_intt_kernel, r=r, B=B, bt=Bt, nlimb=L),
@@ -298,7 +346,7 @@ def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
     A, B, r = t["A"], t["B"], t["r"]
     Br = B * r
     Bt = ct_a.shape[0]
-    smem = pl.BlockSpec((L, 5), lambda l: (0, 0), memory_space=pltpu.SMEM)
+    smem = pl.BlockSpec((L, 9), lambda l: (0, 0), memory_space=pltpu.SMEM)
     c0, c1, c2c = _tensor_intt_call(p, ct_a, ct_b)
 
     hb = hint_b.reshape(L, L, A, Br)
@@ -364,19 +412,30 @@ def _hybrid_digit_relin_kernel(scalars_ref, extw_ref, extws_ref, x_ref,
                 term = _shoup(xk, extw_ref[l, st + k], extws_ref[l, st + k], q)
                 acc = term if acc is None else _addmod(acc, term, q)
             ext_scr[:, j * Br:(j + 1) * Br] = acc
-        # stage 1 for ALL digits at once on the extension block
-        y = _mod_matmul(_planes(ext_scr[...]), w1, q, r16, r16s, r32, r32s,
-                        left=True)
-        A = y.shape[0]
-        for d in range(ndig):
-            yd = _shoup(y[:, d * Br:(d + 1) * Br], t_ref[0], t_s_ref[0], q)
-            if r == 2:
-                lo, hi = yd[:, :B], yd[:, B:]
-                blocks = [_addmod(lo, hi, q), _submod(lo, hi, q)]
-            else:
-                blocks = [yd]
-            for k3 in range(r):
-                scr_refs[k3][d * A:(d + 1) * A, :] = blocks[k3]
+        # stage 1 on the extension block, chunked over digit groups of
+        # ≤ 2048 lanes (see _digit_relin_kernel: scoped-VMEM peak control)
+        A = scr_refs[0].shape[0] // ndig
+        dchunk = max(1, 2048 // Br)
+        for d0 in range(0, ndig, dchunk):
+            dc = min(dchunk, ndig - d0)
+            y = _mod_matmul(
+                _planes(ext_scr[:, d0 * Br:(d0 + dc) * Br]), w1,
+                q, r16, r16s, r32, r32s, left=True)
+            for di in range(dc):
+                d = d0 + di
+                yd = _shoup(y[:, di * Br:(di + 1) * Br], t_ref[0], t_s_ref[0],
+                            q)
+                if r == 2:
+                    lo, hi = yd[:, :B], yd[:, B:]
+                    blocks = [_addmod(lo, hi, q), _submod(lo, hi, q)]
+                elif r == 4:
+                    blocks = _dft4(
+                        [yd[:, k * B:(k + 1) * B] for k in range(4)],
+                        scalars_ref[l, 5], scalars_ref[l, 6], q)
+                else:
+                    blocks = [yd]
+                for k3 in range(r):
+                    scr_refs[k3][d * A:(d + 1) * A, :] = blocks[k3]
         out0 = [jnp.zeros((A, B), U32) for _ in range(r)]
         out1 = [jnp.zeros((A, B), U32) for _ in range(r)]
         for k3 in range(r):
@@ -434,7 +493,7 @@ def hybrid_digit_stage_pallas(n: int, ext_qs: tuple[int, ...],
         st += len(grp)
     nxs = st
     w, ws = _hybrid_ext_consts(groups, ext_qs)
-    smem = pl.BlockSpec((T, 5), lambda l: (0, 0), memory_space=pltpu.SMEM)
+    smem = pl.BlockSpec((T, 9), lambda l: (0, 0), memory_space=pltpu.SMEM)
     smem_ext = pl.BlockSpec((T, nxs), lambda l: (0, 0),
                             memory_space=pltpu.SMEM)
     hb = hint_b.reshape(ndig, T, A, Br)
@@ -467,14 +526,15 @@ def mul_relin_pallas(p, ct_a, ct_b, hint_b, hint_a):
     """Fused multiply+relinearize, [2, L, n] or batched [Bt, 2, L, n] cts
     (3-factor NTT domain), raw u32 hints [L, L, n]. Bit-identical to
     she/fast.mul_relin with impl="pallas" on the same inputs. Batches larger
-    than MAX_BATCH are processed in chunks of MAX_BATCH per fused call."""
+    than the VMEM cap (max_batch) are processed in chunks per fused call."""
     if ct_a.ndim == 3:
         return _mul_relin_pallas_one(
             p, ct_a[None], ct_b[None], hint_b, hint_a)[0]
     Bt = ct_a.shape[0]
+    cap = max_batch(p.n, len(p.qs))
     outs = []
-    for s in range(0, Bt, MAX_BATCH):
-        e = min(s + MAX_BATCH, Bt)
+    for s in range(0, Bt, cap):
+        e = min(s + cap, Bt)
         outs.append(_mul_relin_pallas_one(
             p, ct_a[s:e], ct_b[s:e], hint_b, hint_a))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

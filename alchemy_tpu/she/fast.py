@@ -227,7 +227,7 @@ def mul_relin(p: FastParams, ct_a, ct_b, hint_b, hint_a):
     raw hints), bit-identical to the jnp path.
     """
     if p.impl == "pallas" and ct_a.ndim in (3, 4) and p.n % 16384 == 0 \
-            and p.n // 16384 in (1, 2):
+            and p.n // 16384 in (1, 2, 4):
         from alchemy_tpu.backend.pallas.mul_relin_pallas import mul_relin_pallas
 
         hb = hint_b[0] if isinstance(hint_b, (tuple, list)) else hint_b

@@ -152,6 +152,31 @@ def main():
     ntt_lat = bench_ntt(accel, p, secs)
     log(f"NTT (n=2^{log_n}, {nlimb} limbs) latency: {ntt_lat*1e6:.0f} us")
 
+    # the north-star metric is the 2^14–2^16 ring range (BASELINE.json):
+    # sweep the other two ring sizes at the same limb count (BENCH_SWEEP=0
+    # to skip; sweep points reuse the main config's impl and ks)
+    sweep = {}
+    if os.environ.get("BENCH_SWEEP", "1") != "0" and accel.platform != "cpu":
+        for ln in (14, 15, 16):
+            if ln == log_n:
+                sweep[f"n2e{ln}"] = {
+                    "mul_relin_ops_per_s": round(ops_accel, 3),
+                    "ntt_us": round(ntt_lat * 1e6, 1),
+                }
+                continue
+            try:
+                ps = FastParams.make(ln, nlimb, zp=2, impl=p.impl)
+                o, _ = bench_on(accel, ps, np.random.default_rng(0),
+                                min(secs, 2.0), batch=batch, ks=ks)
+                nl = bench_ntt(accel, ps, min(secs, 2.0))
+                sweep[f"n2e{ln}"] = {
+                    "mul_relin_ops_per_s": round(o, 3),
+                    "ntt_us": round(nl * 1e6, 1),
+                }
+                log(f"sweep n=2^{ln}: {o:.2f} ops/s, NTT {nl*1e6:.0f} us")
+            except Exception as e:
+                log(f"sweep n=2^{ln} failed: {e}")
+
     vs = None
     try:
         cpus = jax.devices("cpu")
@@ -168,13 +193,16 @@ def main():
     if vs is None:
         vs = 1.0
 
-    print(json.dumps({
+    rec = {
         "metric": f"bgv_mul_relin_ops_per_s_n2e{log_n}_L{nlimb}"
                   + ("_hybrid" if ks == "hybrid" else ""),
         "value": round(ops_accel, 3),
         "unit": "ops/s",
         "vs_baseline": round(vs, 3),
-    }), flush=True)
+    }
+    if sweep:
+        rec["sweep"] = sweep
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

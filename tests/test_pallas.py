@@ -151,6 +151,55 @@ def test_pallas_mul_relin_batched(monkeypatch):
         assert np.array_equal(np.asarray(out[i]), np.asarray(ref)), i
 
 
+def test_pallas_mul_relin_r4_interpret_bit_identical(monkeypatch):
+    """The radix-4 kernel path (n = 128·128·4 = 2^16 — the top of the
+    north-star NTT range) matches the jnp 3-factor formulation bit-for-bit
+    (the r=4 DFT exploits i² = −1: one Shoup mult + 8 add/sub)."""
+    mrk = _patch_interpret_mr(monkeypatch)
+    from alchemy_tpu.she import fast
+    from alchemy_tpu.she.fast import FastParams
+
+    p = FastParams.make(16, 2, impl="pallas")
+    rng = np.random.default_rng(7)
+    s = fast.keygen(p, rng)
+    hb, ha = fast.relin_hint(p, s, rng)
+    ct1 = fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
+    ct2 = fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
+    ref = fast._mul_relin_jnp(p, ct1, ct2, hb, ha)
+    out = mrk.mul_relin_pallas(p, ct1, ct2, hb, ha)
+    assert np.array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_mxu3_r4_roundtrip_and_product():
+    """3-factor NTT at 2^16 (radix 4): exact roundtrip, and the negacyclic
+    square agrees with the VPU butterfly transform's."""
+    from alchemy_tpu.backend.ntt import intt_negacyclic, ntt_negacyclic
+    from alchemy_tpu.backend.ntt_mxu3 import _split3, intt_mxu3, ntt_mxu3
+    from alchemy_tpu.backend.xla import mulmod
+    from alchemy_tpu.she.fast import FastParams
+
+    assert _split3(1 << 16) == (128, 128, 4)
+    p = FastParams.make(16, 2)
+    rng = np.random.default_rng(0)
+    x = np.stack([rng.integers(0, q, p.n) for q in p.qs]).astype(np.uint32)
+    xd = jnp.asarray(x)
+    y = ntt_mxu3(xd, p.n, p.qs)
+    assert np.array_equal(np.asarray(intt_mxu3(y, p.n, p.qs)), x)
+    y2 = ntt_negacyclic(xd, p.n, p.qs)
+    sq_mxu = intt_mxu3(mulmod(y, y, p.qs), p.n, p.qs)
+    sq_vpu = intt_negacyclic(mulmod(y2, y2, p.qs), p.n, p.qs)
+    assert np.array_equal(np.asarray(sq_mxu), np.asarray(sq_vpu))
+
+
+def test_max_batch_vmem_cap():
+    from alchemy_tpu.backend.pallas.mul_relin_pallas import max_batch
+
+    assert max_batch(1 << 15, 8) == 4     # the north-star config keeps 4
+    assert max_batch(1 << 14, 8) == 4
+    assert max_batch(1 << 16, 8) == 1     # 2^16 runs one ct per fused call
+    assert max_batch(1 << 16, 2) >= 1
+
+
 def test_pallas_hybrid_mul_relin_interpret_bit_identical(monkeypatch):
     """The fused hybrid digit-NTT+hint kernel path matches the jnp hybrid
     formulation bit-for-bit (and still decrypts to the plaintext product)."""
