@@ -270,19 +270,7 @@ def make_dist_mul_relin(cfg: DistConfig, mesh: Mesh):
     t = dist_tables(cfg)
     L = len(cfg.p.qs)
 
-    tab_specs = {
-        "pre": (P("limb", "coeff"), P("limb", "coeff")),
-        "post": (P("limb", "coeff"), P("limb", "coeff")),
-        "tw": (P("limb", "coeff"), P("limb", "coeff")),
-        "itw": (P("limb", "coeff"), P("limb", "coeff")),
-        "stage1": [(P("limb", None), P("limb", None)) for _ in t["stage1"]],
-        "stage1_inv": [(P("limb", None), P("limb", None)) for _ in t["stage1_inv"]],
-        "stage2": [(P("limb", None), P("limb", None)) for _ in t["stage2"]],
-        "stage2_inv": [(P("limb", None), P("limb", None)) for _ in t["stage2_inv"]],
-        "q": P("limb", None),
-        "r16": P("limb", None),
-        "r16s": P("limb", None),
-    }
+    tab_specs = _tab_specs(t)
     ct_spec = P("batch", None, "limb", "coeff")
     hint_spec = P(None, "limb", "coeff")
 
@@ -320,22 +308,116 @@ def make_dist_mul_relin(cfg: DistConfig, mesh: Mesh):
     return run
 
 
-def make_dist_ntt(cfg: DistConfig, mesh: Mesh):
-    """Sharded forward/inverse negacyclic NTT on [B, L, n] (testing/bench)."""
-    t = dist_tables(cfg)
-    tab_specs = {
+def _tab_specs(t):
+    return {
         "pre": (P("limb", "coeff"), P("limb", "coeff")),
         "post": (P("limb", "coeff"), P("limb", "coeff")),
         "tw": (P("limb", "coeff"), P("limb", "coeff")),
         "itw": (P("limb", "coeff"), P("limb", "coeff")),
         "stage1": [(P("limb", None), P("limb", None)) for _ in t["stage1"]],
-        "stage1_inv": [(P("limb", None), P("limb", None)) for _ in t["stage1_inv"]],
+        "stage1_inv": [(P("limb", None), P("limb", None))
+                       for _ in t["stage1_inv"]],
         "stage2": [(P("limb", None), P("limb", None)) for _ in t["stage2"]],
-        "stage2_inv": [(P("limb", None), P("limb", None)) for _ in t["stage2_inv"]],
+        "stage2_inv": [(P("limb", None), P("limb", None))
+                       for _ in t["stage2_inv"]],
         "q": P("limb", None),
         "r16": P("limb", None),
         "r16s": P("limb", None),
     }
+
+
+def make_dist_rescale(cfg: DistConfig, mesh: Mesh, active: int):
+    """Mesh-sharded exact BGV rescale dropping limb `active-1` of the PADDED
+    chain (she/fast.rescale semantics, one limb; reference: SymmSHE modSwitch,
+    /root/reference Crypto/Alchemy/Interpreter/Eval.hs:123).
+
+    The ciphertext stays at the full allocation [B, 2, L0, n] with rows
+    ≥ active zeroed (the production deep-chain layout: the limb sharding is
+    fixed across levels, the active prefix shrinks). Returns the same shape
+    with row active-1 dropped (zeroed) and rows < active-1 exactly rescaled.
+    Cross-chip traffic: ONE psum broadcasting the dropped limb's coefficient
+    row over 'limb' (SURVEY.md §2.4 TP row — cross-limb mixing only in
+    modSwitch/key-switch) plus the NTT all_to_alls over 'coeff'."""
+    p = cfg.p
+    qs = p.qs
+    L0 = len(qs)
+    assert 2 <= active <= L0
+    qk = qs[active - 1]
+    pz = p.zp
+    assert pz & (pz - 1) == 0, "power-of-two plaintext modulus"
+    t = dist_tables(cfg)
+
+    keep = np.zeros((L0, 1), dtype=np.uint32)
+    qk_mod = np.zeros((L0, 1), dtype=np.uint32)
+    qk_mod_s = np.zeros((L0, 1), dtype=np.uint32)
+    inv_qk = np.ones((L0, 1), dtype=np.uint32)
+    inv_qk_s = np.zeros((L0, 1), dtype=np.uint32)
+    for j, qj in enumerate(qs):
+        if j >= active - 1:
+            continue
+        keep[j] = 1
+        qk_mod[j] = qk % qj
+        qk_mod_s[j] = shoup_const(qk % qj, qj)
+        iv = pow(qk, -1, qj)
+        inv_qk[j] = iv
+        inv_qk_s[j] = shoup_const(iv, qj)
+    consts = {"keep": keep, "qk_mod": qk_mod, "qk_mod_s": qk_mod_s,
+              "inv_qk": inv_qk, "inv_qk_s": inv_qk_s}
+    const_specs = {k: P("limb", None) for k in consts}
+    half = np.uint32(qk // 2)
+    maskp = np.uint32(pz - 1)
+    qk_mod_p = np.uint32(qk % pz)
+    inv_qk_p = np.uint32(pow(qk, -1, pz))
+    pz32 = np.uint32(pz)
+
+    def step(ct, tabs, cs):
+        q = tabs["q"]
+        coeff = _dist_intt_local(ct, tabs, cfg)      # [B, 2, L_loc, n_loc]
+        L_loc = coeff.shape[-2]
+        li = jax.lax.axis_index("limb")
+        gidx = li * L_loc + jnp.arange(L_loc, dtype=jnp.int32)
+        sel = (gidx == active - 1).astype(jnp.uint32)[:, None]
+        r = jax.lax.psum(jnp.sum(coeff * sel, axis=-2), "limb")  # [B, 2, n_loc]
+        is_neg = r > half
+        r_mod_p = r & maskp
+        rc_mod_p = jnp.where(
+            is_neg, (r_mod_p + pz32 - (qk_mod_p & maskp)) & maskp, r_mod_p)
+        tt = (((pz32 - rc_mod_p) & maskp) * inv_qk_p) & maskp
+        t_neg = tt > pz // 2
+        rb = r[..., None, :]
+        r_red = _reduce_u32_local(rb, q, tabs["r16"], tabs["r16s"])
+        rc = jnp.where(
+            is_neg[..., None, :],
+            jnp.where(r_red >= cs["qk_mod"], r_red - cs["qk_mod"],
+                      r_red + q - cs["qk_mod"]),
+            r_red)
+        ttb = tt[..., None, :]
+        tc = jnp.where(t_neg[..., None, :], q - (pz32 - ttb), ttb)
+        qkt = mulmod_shoup(tc, cs["qk_mod"], cs["qk_mod_s"], q)
+        delta = _cond_sub(rc + qkt, q)
+        diff = jnp.where(coeff >= delta, coeff - delta, coeff + q - delta)
+        out = mulmod_shoup(diff, cs["inv_qk"], cs["inv_qk_s"], q)
+        out = out * cs["keep"]
+        return _dist_ntt_local(out, tabs, cfg)
+
+    ct_spec = P("batch", None, "limb", "coeff")
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(ct_spec, _tab_specs(t), const_specs),
+        out_specs=ct_spec,
+    )
+
+    @jax.jit
+    def run(ct):
+        return sharded(ct, t, consts)
+
+    return run
+
+
+def make_dist_ntt(cfg: DistConfig, mesh: Mesh):
+    """Sharded forward/inverse negacyclic NTT on [B, L, n] (testing/bench)."""
+    t = dist_tables(cfg)
+    tab_specs = _tab_specs(t)
     spec = P("batch", "limb", "coeff")
 
     fwd = jax.shard_map(

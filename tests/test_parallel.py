@@ -81,6 +81,85 @@ def test_dist_ntt_pointwise_mul_is_ring_mul():
     assert np.array_equal(got, want)
 
 
+def test_dist_deep_chain_mul_relin_rescale():
+    """Depth-3 mul+relin+rescale chain on the mesh (BASELINE configs[3]
+    distributed): the ciphertext stays at the full padded allocation
+    [B, 2, L0, n] (fixed limb sharding, shrinking active prefix) and every
+    level is validated bit-exactly against the single-chip fast path; the
+    final level decrypts to the Frobenius squaring-chain plaintext."""
+    from alchemy_tpu.examples.deep_circuit import expected_square_chain_mod2
+    from alchemy_tpu.parallel.dist import make_dist_rescale
+    from alchemy_tpu.she.keys import gaussian_coeffs
+
+    depth = 3
+    L0 = 6
+    p = FastParams.make(7, L0, zp=2)
+    cfg = DistConfig(p=p, n1=8, n2=p.n // 8)
+    mesh = make_mesh((2, 2, 2))
+    rng = np.random.default_rng(3)
+    s_int = gaussian_coeffs(rng, 1.0, p.n)
+
+    def key_at(pp):
+        res = np.stack([s_int % q for q in pp.qs]).astype(np.uint32)
+        return fast._ntt_p(pp, jnp.asarray(res))
+
+    msg = rng.integers(0, 2, p.n)
+    ct_f = fast.encrypt(p, key_at(p), msg, rng)
+
+    def coeffs_of(ct, pp):
+        return np.asarray(fast._intt_p(pp, ct))
+
+    def to_dist_ntt(coeff_rows):
+        """[..., L0, n] coefficient rows (padded) → dist NTT domain."""
+        stored = to_dist_layout(coeff_rows, cfg)
+        lead = stored.shape[:-2]
+        flat = stored.reshape(-1, L0, p.n)
+        # pad batch to the mesh batch size
+        out = np.asarray(fwd(jnp.asarray(
+            np.concatenate([flat, flat], axis=0))))[: flat.shape[0]]
+        return out.reshape(*lead, L0, p.n)
+
+    fwd, inv = make_dist_ntt(cfg, mesh)
+    run_mul = make_dist_mul_relin(cfg, mesh)
+
+    c0 = coeffs_of(ct_f, p)                       # [2, L0, n]
+    ct_d = jnp.asarray(np.stack([to_dist_ntt(c0)] * 2))   # [B=2, 2, L0, n]
+
+    cur_p = p
+    for level in range(depth):
+        act = len(cur_p.qs)
+        sl = key_at(cur_p)
+        hb, ha = fast.relin_hint(cur_p, sl, rng)
+        # single-chip reference level
+        ct_f = fast.mul_relin(cur_p, ct_f, ct_f, hb, ha)
+        ct_f = fast.rescale(cur_p, ct_f, 1)
+        next_p = FastParams(n=p.n, qs=cur_p.qs[:-1], zp=p.zp, impl=p.impl)
+        # mesh level: pad hints to [L0, L0, n] in the dist NTT domain
+        hbp = np.zeros((L0, L0, p.n), dtype=np.uint32)
+        hap = np.zeros((L0, L0, p.n), dtype=np.uint32)
+        hb_c = coeffs_of(hb, cur_p)               # [act, act, n]
+        ha_c = coeffs_of(ha, cur_p)
+        pad_b = np.zeros((act, L0, p.n), dtype=np.uint32)
+        pad_a = np.zeros((act, L0, p.n), dtype=np.uint32)
+        pad_b[:, :act] = hb_c
+        pad_a[:, :act] = ha_c
+        hbp[:act] = to_dist_ntt(pad_b)
+        hap[:act] = to_dist_ntt(pad_a)
+        out_d = run_mul(ct_d, ct_d, jnp.asarray(hbp), jnp.asarray(hap))
+        ct_d = make_dist_rescale(cfg, mesh, act)(out_d)
+        # bit-exact per-level check against the single-chip chain
+        got = from_dist_layout(np.asarray(inv(ct_d.reshape(4, L0, p.n))), cfg)
+        got = got.reshape(2, 2, L0, p.n)
+        assert np.array_equal(got[0], got[1])
+        want = coeffs_of(ct_f, next_p)            # [2, act-1, n]
+        assert np.array_equal(got[0][:, : act - 1], want), f"level {level}"
+        assert not got[0][:, act - 1 :].any()
+        cur_p = next_p
+
+    dec = fast.decrypt(cur_p, key_at(cur_p), ct_f)
+    assert np.array_equal(dec, expected_square_chain_mod2(msg, p.n, depth))
+
+
 def test_dist_mul_relin_matches_single_chip():
     p, cfg, mesh = setup(log_n=7, nlimb=4)
     rng = np.random.default_rng(2)
