@@ -119,6 +119,9 @@ class CheckedBackend:
     def gadget_digit_rows(self, data, qs, base):
         return self._both("gadget_digit_rows", data, qs, base)
 
+    def hybrid_digit_rows(self, data, qs, groups, ext_qs):
+        return self._both("hybrid_digit_rows", data, qs, groups, ext_qs)
+
     def broadcast_row(self, row, nlimb, qs):
         return _Pair(
             self.fast.broadcast_row(row, nlimb, qs),

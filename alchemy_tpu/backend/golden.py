@@ -138,6 +138,37 @@ class GoldenBackend:
         rows += [np.zeros(data.shape[1], dtype=np.int64) for _ in new_qs[len(old_qs):]]
         return np.stack(rows)
 
+    def hybrid_digit_rows(self, data, qs, groups, ext_qs):
+        """[dnum, T, n] hybrid digit rows: for each limb GROUP, the exact
+        group-lift V_j < Q_j (Garner mixed-radix over the group's residue
+        rows) reduced modulo every target limb of ext_qs. Integer-only —
+        bit-identical semantics with the she/hybrid.py jnp formulation."""
+        out = []
+        off = 0
+        for grp in groups:
+            cnt = len(grp)
+            rows = [data[off + k].astype(np.int64) % grp[k] for k in range(cnt)]
+            pi = [1]
+            for g in grp[:-1]:
+                pi.append(pi[-1] * g)
+            xs = [rows[0]]
+            for k in range(1, cnt):
+                g = grp[k]
+                acc = xs[0] % g
+                for j in range(1, k):
+                    acc = (acc + xs[j] * (pi[j] % g)) % g
+                inv = pow(pi[k] % g, -1, g)
+                xs.append((rows[k] - acc) % g * inv % g)
+            tgt = []
+            for qt in ext_qs:
+                acc = np.zeros_like(xs[0])
+                for k in range(cnt):
+                    acc = (acc + xs[k] * (pi[k] % qt)) % qt
+                tgt.append(acc)
+            out.append(np.stack(tgt))
+            off += cnt
+        return np.stack(out)
+
     def gadget_digit_rows(self, data, qs, base):
         """[D, L, n] digit rows of POW-basis residues. base=None → CRT/Triv
         digits (row i = limb-i residues reduced into every limb);

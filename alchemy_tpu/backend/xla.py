@@ -325,6 +325,26 @@ class XlaBackend:
         rows += [zero for _ in new_qs[len(old_qs):]]
         return jnp.stack(rows)
 
+    def hybrid_digit_rows(self, data, qs, groups, ext_qs):
+        """[dnum, T, n] hybrid digit rows (group-Garner lift + extension);
+        bit-identical to backend/golden.py hybrid_digit_rows — both compute
+        the exact mixed-radix digits of V_j < Q_j (she/hybrid.py dataflow,
+        jit-traceable)."""
+        from alchemy_tpu.she.hybrid import extend_digits, garner_digits
+
+        ext_qs = tuple(ext_qs)
+        out = []
+        off = 0
+        for grp in groups:
+            grp = tuple(grp)
+            cnt = len(grp)
+            # garner_digits expects [..., k, :] residue rows mod grp[k]
+            xs = garner_digits(jnp.stack(
+                [data[off + k] for k in range(cnt)], axis=-2), grp)
+            out.append(extend_digits(xs, grp, ext_qs))
+            off += cnt
+        return jnp.stack(out)
+
     def gadget_digit_rows(self, data, qs, base):
         qs = tuple(qs)
         L = len(qs)

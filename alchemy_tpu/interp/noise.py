@@ -12,7 +12,7 @@ import math
 from dataclasses import dataclass
 
 from alchemy_tpu.core.params import RnsChain
-from alchemy_tpu.she.gadget import BaseBGad, Gadget, TrivGad
+from alchemy_tpu.she.gadget import BaseBGad, Gadget, HybridGad, TrivGad
 
 #: bits per noise unit (Noise.hs:153-155)
 PNOISE_UNIT = 6.1
@@ -88,6 +88,11 @@ class NoiseLedger:
         if isinstance(gad, TrivGad):
             return p + KS_ACCUM_PNOISE + MAX_32BIT_UNITS
         if isinstance(gad, BaseBGad):
+            return p + KS_ACCUM_PNOISE
+        if isinstance(gad, HybridGad):
+            # the digit magnitude cancels against the special modulus P
+            # (P ≥ max Q_j, she/hybrid.py noise analysis) — no TrivGad
+            # digit penalty, same accumulation charge as BaseBGad
             return p + KS_ACCUM_PNOISE
         raise TypeError(f"unknown gadget {gad!r}")
 

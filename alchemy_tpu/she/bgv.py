@@ -246,17 +246,23 @@ def mod_switch_pt(ct: CT) -> CT:
 @dataclass
 class KSQuadCircHint:
     """Gadget 'encryption' of s² under s at the hint modulus
-    (SymmSHE KSQuadCircHint; KeysHints.hs:101-113)."""
+    (SymmSHE KSQuadCircHint; KeysHints.hs:101-113). For a HybridGad the
+    rows live at the EXTENDED chain qs+ps (ext_qs) and encrypt P·ĝ_j·s²."""
 
     m_prime: int
     qs: tuple[int, ...]
     gadget: Gadget
     zp: int
     rows: tuple[tuple[Cyc, Cyc], ...]  # per digit: (b_k, a_k)
+    ext_qs: tuple[int, ...] | None = None
 
 
 def ks_quad_circ_hint(sk: SK, gadget: Gadget, qs: tuple[int, ...], zp: int,
                       rng: np.random.Generator, bk) -> KSQuadCircHint:
+    from alchemy_tpu.she.gadget import HybridGad
+
+    if isinstance(gadget, HybridGad):
+        return _hybrid_quad_hint(sk, gadget, qs, zp, rng, bk)
     s = sk.as_cyc(qs, bk)
     s2 = s * s
     factors = gadget.factors(qs)
@@ -271,15 +277,67 @@ def ks_quad_circ_hint(sk: SK, gadget: Gadget, qs: tuple[int, ...], zp: int,
     return KSQuadCircHint(sk.m, qs, gadget, zp, tuple(rows))
 
 
+def _hybrid_quad_hint(sk: SK, gadget, qs: tuple[int, ...], zp: int,
+                      rng: np.random.Generator, bk) -> KSQuadCircHint:
+    """Hybrid hint rows at the extended chain: B_j + A_j·s = P·ĝ_j·s² + zp·e_j
+    (mod Q·P) — she/hybrid.py hybrid_relin_hint over general cyclotomics."""
+    ps = gadget.special_primes(qs, sk.m)
+    ext = tuple(qs) + ps
+    P = 1
+    for g in ps:
+        P *= g
+    Q = 1
+    for q in qs:
+        Q *= q
+    s = sk.as_cyc(ext, bk)
+    s2 = s * s
+    ring = get_ring(sk.m)
+    rows = []
+    for g_hat in gadget.factors(qs):
+        g = P * g_hat % (Q * P)
+        a = Cyc.from_coeffs(sk.m, ext, uniform_residues(rng, ext, ring.phi), bk)
+        e, _ = sk.error(ext, rng, bk)
+        b = s2.scalar_mul(g) + e.scalar_mul(zp) - a * s
+        rows.append((b.to_crt(), a.to_crt()))
+    return KSQuadCircHint(sk.m, tuple(qs), gadget, zp, tuple(rows), ext_qs=ext)
+
+
 def key_switch_quad(hint: KSQuadCircHint, ct: CT) -> CT:
     """Re-linearize a quadratic ciphertext (SymmSHE keySwitchQuadCirc).
-    All gadget digits go through ONE batched CRT transform."""
+    All gadget digits go through ONE batched CRT transform. Hybrid hints
+    run the extended-modulus dataflow: group-Garner digits extended to
+    Q·P, hint inner product at Q·P, exact rescale by P back to Q."""
     assert ct.degree == 2
     assert ct.qs == hint.qs, (ct.qs, hint.qs)
     c0, c1, c2 = ct.comps
+    if hint.ext_qs is not None:
+        return _key_switch_quad_hybrid(hint, ct)
     digits = Cyc.batched_to_basis(hint.gadget.digits(c2), "CRT")
     acc0, acc1 = c0.to_crt(), c1.to_crt()
     for dc, (b, a) in zip(digits, hint.rows):
         acc0 = acc0 + dc * b
         acc1 = acc1 + dc * a
     return ct.with_comps((acc0, acc1))
+
+
+def _key_switch_quad_hybrid(hint: KSQuadCircHint, ct: CT) -> CT:
+    c0, c1, c2 = ct.comps
+    ext = hint.ext_qs
+    ps = ext[len(ct.qs):]
+    bk = ct.bk
+    x = c2.to_pow()
+    groups = hint.gadget.groups_of(ct.qs)
+    dig_rows = bk.hybrid_digit_rows(x.data, ct.qs, groups, ext)
+    ring = x.ring
+    t0 = t1 = None
+    for j, (b, a) in enumerate(hint.rows):
+        dc = Cyc(ring, ext, "POW", dig_rows[j], bk).to_crt()
+        u0, u1 = dc * b, dc * a
+        t0 = u0 if t0 is None else t0 + u0
+        t1 = u1 if t1 is None else t1 + u1
+    # exact rescale by P = ∏ ps: iterated one-limb drops (she/bgv.py
+    # _rescale_drop_last semantics); the payload's P factor cancels
+    for _ in ps:
+        t0 = _rescale_drop_last(t0, hint.zp)
+        t1 = _rescale_drop_last(t1, hint.zp)
+    return ct.with_comps((c0.to_crt() + t0.to_crt(), c1.to_crt() + t1.to_crt()))

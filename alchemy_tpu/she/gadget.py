@@ -80,6 +80,93 @@ class TrivGad(Gadget):
 
 
 @dataclass(frozen=True)
+class HybridGad(Gadget):
+    """Hybrid key-switching gadget: the chain is grouped into dnum digits of
+    α = ⌈L/dnum⌉ limbs and the switch runs over the extended modulus Q·P
+    with a special modulus P = ∏ ps ≥ max Q_j (she/hybrid.py is the raw fast
+    path of the same technique; this class plugs it into the PT2CT compiler's
+    per-gadget KSPNoise slot, reference PT2CT.hs:136-140). Digit magnitude
+    cancels against P in the switch noise, so the ledger charges it like
+    BaseBGad (no TrivGad digit penalty — interp/noise.py ks_pnoise).
+
+    `dnum=None` picks ⌈L/4⌉ per chain (she/hybrid.pick_dnum); `sp_bits=None`
+    sizes the special primes at the chain's own width, widening until
+    P ≥ max Q_j (the hybrid noise condition)."""
+
+    dnum: int | None = None
+    sp_bits: int | None = None
+
+    def groups_of(self, qs: tuple[int, ...]) -> tuple[tuple[int, ...], ...]:
+        from alchemy_tpu.she.hybrid import pick_dnum
+
+        L = len(qs)
+        dnum = pick_dnum(L) if self.dnum is None else self.dnum
+        alpha = -(-L // dnum)
+        return tuple(tuple(qs[i:i + alpha]) for i in range(0, L, alpha))
+
+    def special_primes(self, qs: tuple[int, ...], m_prime: int) -> tuple[int, ...]:
+        """Deterministic special-modulus limbs ≡ 1 mod m' with P ≥ max Q_j."""
+        from alchemy_tpu.nt.primes import find_ntt_prime
+
+        groups = self.groups_of(qs)
+        k_sp = max(len(g) for g in groups)
+        bits = self.sp_bits
+        if bits is None:
+            bits = max(q.bit_length() for q in qs)
+        max_Qj = max(int(np.prod([1] + [int(g) for g in grp], dtype=object))
+                     for grp in groups)
+        while True:
+            ps: list[int] = []
+            while len(ps) < k_sp:
+                ps.append(find_ntt_prime(m_prime, bits,
+                                         avoid=tuple(qs) + tuple(ps)))
+            P = 1
+            for g in ps:
+                P *= g
+            if P >= max_Qj or bits >= 31:
+                return tuple(ps)
+            bits += 1
+
+    def num_digits(self, qs):
+        return len(self.groups_of(qs))
+
+    def factors(self, qs):
+        """ĝ_j = (Q/Q_j)·[(Q/Q_j)^{-1}]_{Q_j} mod Q (the P scaling and the
+        extension to Q·P live in the hint generation, she/bgv.py)."""
+        Q = 1
+        for q in qs:
+            Q *= q
+        out = []
+        for grp in self.groups_of(qs):
+            Qj = 1
+            for g in grp:
+                Qj *= g
+            Qi = Q // Qj
+            out.append(Qi * pow(Qi % Qj, -1, Qj) % Q)
+        return out
+
+    def digits(self, c):
+        """Group-Garner digit rows over the element's OWN chain (the
+        extension to Q·P happens in key_switch_quad via hybrid_digit_rows)."""
+        arr = c.to_pow()
+        rows = arr.bk.hybrid_digit_rows(
+            arr.data, arr.qs, self.groups_of(arr.qs), arr.qs)
+        return [Cyc(arr.ring, arr.qs, "POW", rows[i], arr.bk)
+                for i in range(rows.shape[0])]
+
+    def digit_noise_bits(self, qs):
+        import math
+
+        # the effective digit contribution after the P-division is ≈ 1
+        # (|D_j|/P ≤ 1 when P ≥ max Q_j); charged like a unit-magnitude digit
+        return math.log2(2)
+
+    def __repr__(self):
+        d = "" if self.dnum is None else f"dnum={self.dnum}"
+        return f"HybridGad({d})"
+
+
+@dataclass(frozen=True)
 class BaseBGad(Gadget):
     base: int = 2
 

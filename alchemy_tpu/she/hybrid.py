@@ -323,7 +323,7 @@ def mul_relin_hybrid(hk: HybridKS, ct_a, ct_b, hint_b, hint_a):
     qs = p.qs
     L = len(qs)
     if (p.impl == "pallas" and ct_a.ndim in (3, 4) and p.n % 16384 == 0
-            and p.n // 16384 in (1, 2)):
+            and p.n // 16384 in (1, 2, 4)):
         return _mul_relin_hybrid_pallas(hk, ct_a, ct_b, hint_b, hint_a)
     a0, a1 = ct_a[..., 0, :, :], ct_a[..., 1, :, :]
     b0, b1 = ct_b[..., 0, :, :], ct_b[..., 1, :, :]
@@ -363,9 +363,9 @@ def _mul_relin_hybrid_pallas(hk: HybridKS, ct_a, ct_b, hint_b, hint_a):
     base extension in VMEM, D = dnum wide-dot NTT stages), then the joint
     P-rescale. Bit-identical to the jnp formulation above."""
     from alchemy_tpu.backend.pallas.mul_relin_pallas import (
-        MAX_BATCH,
         _tensor_intt_call,
         hybrid_digit_stage_pallas,
+        max_batch,
     )
 
     p, pe = hk.p, hk.pe
@@ -374,12 +374,12 @@ def _mul_relin_hybrid_pallas(hk: HybridKS, ct_a, ct_b, hint_b, hint_a):
     if unbatched:
         ct_a, ct_b = ct_a[None], ct_b[None]
     Bt = ct_a.shape[0]
-    if Bt > MAX_BATCH:
+    cap = max_batch(p.n, len(pe.qs))
+    if Bt > cap:
         outs = [
             _mul_relin_hybrid_pallas(
-                hk, ct_a[s:s + MAX_BATCH], ct_b[s:s + MAX_BATCH],
-                hint_b, hint_a)
-            for s in range(0, Bt, MAX_BATCH)
+                hk, ct_a[s:s + cap], ct_b[s:s + cap], hint_b, hint_a)
+            for s in range(0, Bt, cap)
         ]
         return jnp.concatenate(outs, axis=0)
 

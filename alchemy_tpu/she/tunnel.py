@@ -103,6 +103,13 @@ class TunnelHint:
 
 def tunnel_hint(f: LinearMap, sk_out: SK, sk_in: SK, gadget: Gadget,
                 qs: tuple[int, ...], zp: int, rng: np.random.Generator, bk) -> TunnelHint:
+    from alchemy_tpu.she.gadget import HybridGad
+
+    if isinstance(gadget, HybridGad):
+        raise TypeError(
+            "HybridGad is supported for quad-circ relinearization only; "
+            "tunnel with TrivGad or BaseBGad (per-op gadget choice, "
+            "PT2CT.hs:136-140)")
     r_p, s_p = sk_in.m, sk_out.m
     e_p = _validate_extension(f.e, f.r, f.s, r_p, s_p)
     images_sp = _lift_images(f, s_p, qs, bk)

@@ -170,3 +170,54 @@ def test_rescale_joint_rejects_wide_zp():
         rescale_joint(
             FastParams(n=p.n, qs=p.qs, zp=1 << 17, impl=p.impl),
             jnp.zeros((2, 4, p.n), jnp.uint32), 1)
+
+
+def test_hybrid_gadget_compiled_pt2ct():
+    """VERDICT r2 #7: a PT2CT-compiled program relinearizing with HybridGad
+    (the per-gadget KSPNoise slot, PT2CT.hs:136-140) decrypts correctly —
+    on golden and on the checked (XLA-vs-golden bit-identity) backend,
+    which also exercises the new hybrid_digit_rows backend op."""
+    from alchemy_tpu.backend import get_backend
+    from alchemy_tpu.core.cyc import Cyc
+    from alchemy_tpu.core.params import RnsChain
+    from alchemy_tpu.interp.eval import eval_ir
+    from alchemy_tpu.interp.keys_hints import KeysHints
+    from alchemy_tpu.interp.noise import KS_ACCUM_PNOISE, NoiseLedger, PtTy
+    from alchemy_tpu.interp.pt2ct import pt2ct
+    from alchemy_tpu.lang.dsl import lam2
+    from alchemy_tpu.nt.factor import totient
+    from alchemy_tpu.she.gadget import BaseBGad, HybridGad
+
+    M, M_PRIME, ZP = 4, 512, 8
+    ZQS = RnsChain([268440577, 8392193, 1073750017])
+    PT = PtTy(pnoise=0, m=M, zp=ZP)
+    addMul = lam2(lambda x, y: (x + y) * y)
+
+    # ledger: hybrid is charged like BaseBGad (digit magnitude cancels
+    # against P) — no TrivGad 32-bit digit penalty
+    led = NoiseLedger(ZQS)
+    assert led.ks_pnoise(HybridGad(), 0) == led.ks_pnoise(BaseBGad(2), 0)
+    assert led.ks_pnoise(HybridGad(), 0) == KS_ACCUM_PNOISE
+
+    for backend in ("golden", "checked"):
+        bk = get_backend(backend)
+        rng = np.random.default_rng(1)
+        pt1 = Cyc.from_coeffs(M, (ZP,), rng.integers(0, ZP, totient(M)), bk)
+        pt2 = Cyc.from_coeffs(M, (ZP,), rng.integers(0, ZP, totient(M)), bk)
+        ptresult = eval_ir(addMul, pt1, pt2)
+        ctx = KeysHints(3.0, seed=1, bk=bk)
+        compiled = pt2ct(addMul, res_ty=PT, m_map={M: M_PRIME}, zqs=ZQS,
+                         gad=HybridGad(dnum=2), ctx=ctx)
+        arg1 = compiled.encrypt_arg(pt1, 0)
+        arg2 = compiled.encrypt_arg(pt2, 1)
+        dec = compiled.decrypt(eval_ir(compiled.ir, arg1, arg2))
+        assert dec is not None and dec.equals(ptresult), backend
+
+
+def test_hybrid_gadget_tunnel_rejected():
+    """HybridGad is a relinearization gadget; tunneling must fail loudly."""
+    from alchemy_tpu.she.gadget import HybridGad
+    from alchemy_tpu.she.tunnel import tunnel_hint
+
+    with pytest.raises(TypeError, match="HybridGad"):
+        tunnel_hint(None, None, None, HybridGad(), (17,), 2, None, None)
