@@ -13,10 +13,19 @@ import jax
 
 def init_multihost(coordinator_address: str | None = None,
                    num_processes: int | None = None,
-                   process_id: int | None = None) -> int:
+                   process_id: int | None = None,
+                   cpu_collectives: str | None = None) -> int:
     """Initialize jax.distributed (no-op when single-process). Returns the
-    global device count."""
+    global device count.
+
+    On TPU pods the collective transport is XLA's own (ICI/DCN); on the CPU
+    backend cross-process collectives need an explicit implementation
+    (`cpu_collectives="gloo"` — how tests/test_multihost.py runs the same
+    shard_map programs across two OS processes)."""
     if num_processes is not None and num_processes > 1:
+        if cpu_collectives is not None:
+            jax.config.update("jax_cpu_collectives_implementation",
+                              cpu_collectives)
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
