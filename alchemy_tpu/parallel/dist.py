@@ -179,10 +179,60 @@ def dist_tables(cfg: DistConfig):
 # ---------------------------------------------------------------------------
 
 
-def _a2a(x, axis_split, axis_concat):
+def _a2a(x, axis_split, axis_concat, n_shards=None):
     return jax.lax.all_to_all(
         x, "coeff", split_axis=axis_split, concat_axis=axis_concat, tiled=True
     )
+
+
+def _a2a_ring(x, axis_split, axis_concat, n_shards):
+    """Staged-ring transpose: the bandwidth-optimal ppermute decomposition of
+    the tiled all_to_all (SURVEY.md §2.4 ring-attention/Ulysses row — the
+    FHE analog of the ring-pipeline strategy; bit-identical result).
+
+    Round t ∈ 1..C-1 sends exactly one [split/C × concat] chunk one hop of
+    distance t: device d ships chunk index (d+t)%C to device (d+t)%C, which
+    lands it at source-block position (r-t)%C of the output. Total bytes
+    moved equal the all_to_all's (C-1)/C of the block; C-1 neighbor-style
+    rounds instead of one global exchange — the variant that pipelines over
+    DCN-crossing 'coeff' axes (pick_dist_strategy)."""
+    C = n_shards
+    d = jax.lax.axis_index("coeff")
+    chunk = x.shape[axis_split] // C
+    cat = x.shape[axis_concat]
+    out_shape = list(x.shape)
+    out_shape[axis_split] = chunk
+    out_shape[axis_concat] = cat * C
+    out = jnp.zeros(tuple(out_shape), x.dtype)
+    for t in range(C):
+        src_idx = (d + t) % C
+        piece = jax.lax.dynamic_slice_in_dim(
+            x, src_idx * chunk, chunk, axis=axis_split)
+        if t:
+            piece = jax.lax.ppermute(
+                piece, "coeff", [(i, (i + t) % C) for i in range(C)])
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, piece, ((d - t) % C) * cat, axis=axis_concat)
+    return out
+
+
+#: DistNTT strategy registry (SURVEY §2.4: "both implemented under one
+#: DistNTT interface; pick by slice topology")
+DIST_STRATEGIES = {"a2a": _a2a, "ring": _a2a_ring}
+
+
+def pick_dist_strategy(mesh: Mesh) -> str:
+    """all_to_all rides ICI natively within a slice; when the 'coeff' axis
+    crosses process (host/DCN) boundaries the staged ring pipelines better."""
+    try:
+        coeff_devs = np.asarray(mesh.devices)
+        axis = list(mesh.axis_names).index("coeff")
+        dev_slices = np.moveaxis(coeff_devs, axis, 0)
+        procs = {getattr(dv, "process_index", 0)
+                 for dv in dev_slices.reshape(dev_slices.shape[0], -1)[:, 0]}
+        return "ring" if len(procs) > 1 else "a2a"
+    except Exception:
+        return "a2a"
 
 
 def _stages_L(x, stages, q, fn):
@@ -194,8 +244,10 @@ def _stages_L(x, stages, q, fn):
     return jnp.swapaxes(x, -3, -2)
 
 
-def _dist_ntt_local(x, t, cfg: DistConfig):
+def _dist_ntt_local(x, t, cfg: DistConfig, strategy: str = "a2a",
+                    n_shards: int | None = None):
     """x local [..., L_loc, n_loc] in (j2, j1) storage order."""
+    xpose = DIST_STRATEGIES[strategy]
     n1 = cfg.n1
     q = t["q"]
     pre, pre_s = t["pre"]
@@ -209,13 +261,15 @@ def _dist_ntt_local(x, t, cfg: DistConfig):
     x = mulmod_shoup(x.reshape(*lead, Lc, n2_loc * n1), twv, tws, q).reshape(
         *lead, Lc, n2_loc, n1
     )
-    x = _a2a(x, x.ndim - 1, x.ndim - 2)                   # [..., L, n2, n1/C]
+    x = xpose(x, x.ndim - 1, x.ndim - 2, n_shards)        # [..., L, n2, n1/C]
     x = jnp.swapaxes(x, -1, -2)                           # [..., L, n1/C, n2]
     x = _stages_L(x, t["stage2"], q, cyclic_ntt_stages)   # over j2 → k2pos
     return x.reshape(*lead, Lc, -1)
 
 
-def _dist_intt_local(x, t, cfg: DistConfig):
+def _dist_intt_local(x, t, cfg: DistConfig, strategy: str = "a2a",
+                     n_shards: int | None = None):
+    xpose = DIST_STRATEGIES[strategy]
     n2 = cfg.n2
     q = t["q"]
     lead = x.shape[:-2]
@@ -224,7 +278,7 @@ def _dist_intt_local(x, t, cfg: DistConfig):
     x = x.reshape(*lead, Lc, n1_loc, n2)
     x = _stages_L(x, t["stage2_inv"], q, cyclic_intt_stages)  # undo over j2
     x = jnp.swapaxes(x, -1, -2)                               # [..., L, n2, n1/C]
-    x = _a2a(x, x.ndim - 2, x.ndim - 1)                       # [..., L, n2/C, n1]
+    x = xpose(x, x.ndim - 2, x.ndim - 1, n_shards)            # [..., L, n2/C, n1]
     itwv, itws = t["itw"]
     n2_loc, n1 = x.shape[-2], x.shape[-1]
     x = mulmod_shoup(x.reshape(*lead, Lc, -1), itwv, itws, q).reshape(
@@ -264,9 +318,11 @@ def _add(a, b, q):
 # ---------------------------------------------------------------------------
 
 
-def make_dist_mul_relin(cfg: DistConfig, mesh: Mesh):
+def make_dist_mul_relin(cfg: DistConfig, mesh: Mesh, strategy: str | None = None):
     """Build a jitted, mesh-sharded batched mul+relin:
     cts [B, 2, L, n] × hints [L, L, n] → [B, 2, L, n]."""
+    strategy = strategy or pick_dist_strategy(mesh)
+    C = mesh.shape["coeff"]
     t = dist_tables(cfg)
     L = len(cfg.p.qs)
 
@@ -281,7 +337,7 @@ def make_dist_mul_relin(cfg: DistConfig, mesh: Mesh):
         c0 = _mul(a0, b0, tabs)
         c1 = _add(_mul(a0, b1, tabs), _mul(a1, b0, tabs), q)
         c2 = _mul(a1, b1, tabs)
-        c2_coeff = _dist_intt_local(c2, tabs, cfg)          # [B_loc, L_loc, n_loc]
+        c2_coeff = _dist_intt_local(c2, tabs, cfg, strategy, C)  # [B_loc, L_loc, n_loc]
         rows = jax.lax.all_gather(c2_coeff, "limb", axis=1, tiled=True)  # [B, L, n_loc]
         out0, out1 = c0, c1
         for i in range(L):
@@ -289,7 +345,7 @@ def make_dist_mul_relin(cfg: DistConfig, mesh: Mesh):
             dig = _reduce_u32_local(
                 jnp.broadcast_to(row, c2_coeff.shape), q, tabs["r16"], tabs["r16s"]
             )
-            dig_ntt = _dist_ntt_local(dig, tabs, cfg)
+            dig_ntt = _dist_ntt_local(dig, tabs, cfg, strategy, C)
             out0 = _add(out0, _mul(dig_ntt, hb[i][None], tabs), q)
             out1 = _add(out1, _mul(dig_ntt, ha[i][None], tabs), q)
         return jnp.stack([out0, out1], axis=1)
@@ -326,7 +382,8 @@ def _tab_specs(t):
     }
 
 
-def make_dist_rescale(cfg: DistConfig, mesh: Mesh, active: int):
+def make_dist_rescale(cfg: DistConfig, mesh: Mesh, active: int,
+                      strategy: str | None = None):
     """Mesh-sharded exact BGV rescale dropping limb `active-1` of the PADDED
     chain (she/fast.rescale semantics, one limb; reference: SymmSHE modSwitch,
     /root/reference Crypto/Alchemy/Interpreter/Eval.hs:123).
@@ -338,6 +395,8 @@ def make_dist_rescale(cfg: DistConfig, mesh: Mesh, active: int):
     Cross-chip traffic: ONE psum broadcasting the dropped limb's coefficient
     row over 'limb' (SURVEY.md §2.4 TP row — cross-limb mixing only in
     modSwitch/key-switch) plus the NTT all_to_alls over 'coeff'."""
+    strategy = strategy or pick_dist_strategy(mesh)
+    C = mesh.shape["coeff"]
     p = cfg.p
     qs = p.qs
     L0 = len(qs)
@@ -372,7 +431,7 @@ def make_dist_rescale(cfg: DistConfig, mesh: Mesh, active: int):
 
     def step(ct, tabs, cs):
         q = tabs["q"]
-        coeff = _dist_intt_local(ct, tabs, cfg)      # [B, 2, L_loc, n_loc]
+        coeff = _dist_intt_local(ct, tabs, cfg, strategy, C)  # [B, 2, L_loc, n_loc]
         L_loc = coeff.shape[-2]
         li = jax.lax.axis_index("limb")
         gidx = li * L_loc + jnp.arange(L_loc, dtype=jnp.int32)
@@ -398,7 +457,7 @@ def make_dist_rescale(cfg: DistConfig, mesh: Mesh, active: int):
         diff = jnp.where(coeff >= delta, coeff - delta, coeff + q - delta)
         out = mulmod_shoup(diff, cs["inv_qk"], cs["inv_qk_s"], q)
         out = out * cs["keep"]
-        return _dist_ntt_local(out, tabs, cfg)
+        return _dist_ntt_local(out, tabs, cfg, strategy, C)
 
     ct_spec = P("batch", None, "limb", "coeff")
     sharded = jax.shard_map(
@@ -414,18 +473,23 @@ def make_dist_rescale(cfg: DistConfig, mesh: Mesh, active: int):
     return run
 
 
-def make_dist_ntt(cfg: DistConfig, mesh: Mesh):
-    """Sharded forward/inverse negacyclic NTT on [B, L, n] (testing/bench)."""
+def make_dist_ntt(cfg: DistConfig, mesh: Mesh, strategy: str | None = None):
+    """Sharded forward/inverse negacyclic NTT on [B, L, n] (testing/bench).
+
+    `strategy` picks the DistNTT transpose: 'a2a' (one tiled all_to_all) or
+    'ring' (C-1 staged ppermute rounds); default by slice topology."""
+    strategy = strategy or pick_dist_strategy(mesh)
+    C = mesh.shape["coeff"]
     t = dist_tables(cfg)
     tab_specs = _tab_specs(t)
     spec = P("batch", "limb", "coeff")
 
     fwd = jax.shard_map(
-        lambda x, tabs: _dist_ntt_local(x, tabs, cfg),
+        lambda x, tabs: _dist_ntt_local(x, tabs, cfg, strategy, C),
         mesh=mesh, in_specs=(spec, tab_specs), out_specs=spec,
     )
     inv = jax.shard_map(
-        lambda x, tabs: _dist_intt_local(x, tabs, cfg),
+        lambda x, tabs: _dist_intt_local(x, tabs, cfg, strategy, C),
         mesh=mesh, in_specs=(spec, tab_specs), out_specs=spec,
     )
     return jax.jit(lambda x: fwd(x, t)), jax.jit(lambda x: inv(x, t))

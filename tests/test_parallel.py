@@ -199,3 +199,61 @@ def test_dist_mul_relin_matches_single_chip():
     got1 = unbridge(out[0, 1])
     assert np.array_equal(got0, want_coeff[0])
     assert np.array_equal(got1, want_coeff[1])
+
+
+def test_ring_strategy_matches_a2a():
+    """The staged-ring ppermute transpose (DIST_STRATEGIES['ring']) is
+    bit-identical to the all_to_all strategy for NTT and fused mul+relin."""
+    p, cfg, mesh = setup(log_n=7, nlimb=4)
+    rng = np.random.default_rng(7)
+    x = np.stack(
+        [np.stack([rng.integers(0, q, p.n) for q in p.qs]) for _ in range(2)]
+    ).astype(np.uint32)
+    fwd_a, inv_a = make_dist_ntt(cfg, mesh, strategy="a2a")
+    fwd_r, inv_r = make_dist_ntt(cfg, mesh, strategy="ring")
+    ya, yr = fwd_a(jnp.asarray(x)), fwd_r(jnp.asarray(x))
+    assert np.array_equal(np.asarray(ya), np.asarray(yr))
+    assert np.array_equal(np.asarray(inv_r(yr)), x)
+
+    s = fast.keygen(p, rng)
+    hb, ha = fast.relin_hint(p, s, rng)
+    ct = fast.encrypt(p, s, rng.integers(0, 2, p.n), rng)
+    d = np.stack([np.asarray(ct)] * 2).astype(np.uint32)  # [B=2, 2, L, n]
+    # fake dist layout is fine: both strategies see identical inputs and only
+    # cross-strategy equality matters
+    args = (jnp.asarray(d),) * 2 + (
+        jnp.asarray(np.stack([np.asarray(hb[i]) for i in range(len(p.qs))])),
+        jnp.asarray(np.stack([np.asarray(ha[i]) for i in range(len(p.qs))])),
+    )
+    out_a = make_dist_mul_relin(cfg, mesh, strategy="a2a")(*args)
+    out_r = make_dist_mul_relin(cfg, mesh, strategy="ring")(*args)
+    assert np.array_equal(np.asarray(out_a), np.asarray(out_r))
+
+
+def test_pick_dist_strategy_single_process():
+    from alchemy_tpu.parallel.dist import pick_dist_strategy
+
+    _, _, mesh = setup()
+    assert pick_dist_strategy(mesh) == "a2a"  # all local → ICI all_to_all
+
+
+def test_dist_ntt_communication_pattern():
+    """Communication-pattern sanity (VERDICT r2 #10): the a2a forward NTT
+    lowers to EXACTLY ONE all_to_all and no other inter-device collective;
+    the ring variant lowers to C-1 collective permutes and no all_to_all."""
+    p, cfg, mesh = setup(log_n=8, nlimb=4)
+    C = mesh.shape["coeff"]
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.stack(
+        [np.stack([rng.integers(0, q, p.n) for q in p.qs]) for _ in range(2)]
+    ).astype(np.uint32))
+
+    fwd_a, _ = make_dist_ntt(cfg, mesh, strategy="a2a")
+    txt = fwd_a.lower(x).as_text()
+    assert txt.count("all_to_all") == 1
+    assert "collective_permute" not in txt
+
+    fwd_r, _ = make_dist_ntt(cfg, mesh, strategy="ring")
+    txt_r = fwd_r.lower(x).as_text()
+    assert "all_to_all" not in txt_r
+    assert txt_r.count("collective_permute") == C - 1
