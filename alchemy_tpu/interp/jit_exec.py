@@ -77,9 +77,28 @@ def _rebuild_payload(tmpl, arrays, bk):
 _HOISTED = {"keySwitchQuad_", "tunnel_"}
 
 
+def _auto_sharding(arr, mesh):
+    """Sharding for a [L, n_flat] ciphertext/hint residue array: limb-TP on
+    axis 0 when the chain length divides the 'limb' mesh axis, coefficient-SP
+    on the flattened coefficient axis when φ(m') divides the 'coeff' axis
+    (every H'-tower ring is divisible by 8); replicated otherwise. GSPMD
+    propagates these through the whole traced program and inserts the
+    collectives (SURVEY.md scaling-book recipe: annotate, let XLA insert)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dims = dict(getattr(mesh, "shape", {}))
+    l = "limb" if dims.get("limb", 1) > 1 and arr.shape[0] % dims["limb"] == 0 \
+        else None
+    c = "coeff" if dims.get("coeff", 1) > 1 and arr.shape[-1] % dims["coeff"] == 0 \
+        else None
+    return NamedSharding(mesh, P(l, c))
+
+
 class JitCompiled:
-    def __init__(self, compiled: CompiledExpr, example_cts: list[CT]):
+    def __init__(self, compiled: CompiledExpr, example_cts: list[CT],
+                 mesh=None):
         self.compiled = compiled
+        self.mesh = mesh
         self.arg_meta = [
             (ct.m, ct.zp, ct.scale, [_cyc_meta(c) for c in ct.comps])
             for ct in example_cts
@@ -109,7 +128,15 @@ class JitCompiled:
             )
             return tuple(c.data for c in out.comps)
 
-        self._jitted = jax.jit(raw)
+        if mesh is None:
+            self._jitted = jax.jit(raw)
+        else:
+            in_sh = (
+                [_auto_sharding(c.data, mesh)
+                 for ct in example_cts for c in ct.comps],
+                [_auto_sharding(a, mesh) for a in self.const_arrays],
+            )
+            self._jitted = jax.jit(raw, in_shardings=in_sh)
         self._jitted.lower(
             [c.data for ct in example_cts for c in ct.comps], self.const_arrays
         )
@@ -149,7 +176,13 @@ class JitCompiled:
         return CT(m=m, zp=zp, scale=scale, comps=comps)
 
 
-def jit_compile(compiled: CompiledExpr, example_cts: list[CT]) -> JitCompiled:
+def jit_compile(compiled: CompiledExpr, example_cts: list[CT],
+                mesh=None) -> JitCompiled:
     """Compile the full ciphertext program into one XLA executable.
-    `example_cts` fix the (static) argument metadata."""
-    return JitCompiled(compiled, example_cts)
+    `example_cts` fix the (static) argument metadata.
+
+    With `mesh` (axes 'limb'/'coeff'), the program compiles SPMD-sharded:
+    inputs and hoisted hint arrays are annotated limb-TP/coefficient-SP
+    (_auto_sharding) and GSPMD partitions the whole evaluation — the sharded
+    execution path for the compiled Tunnel/HomomRLWR programs."""
+    return JitCompiled(compiled, example_cts, mesh=mesh)

@@ -64,3 +64,40 @@ def test_jit_tunnel_whole_program():
         assert np.array_equal(np.asarray(ce.to_pow().data), np.asarray(cf.to_pow().data))
     want = eval_ir(expr, x)
     assert compiled.decrypt(fast).equals(want)
+
+
+def _mesh_2d(limb=2, coeff=4):
+    import jax
+
+    devs = np.array(jax.devices()[: limb * coeff]).reshape(limb, coeff)
+    from jax.sharding import Mesh
+
+    return Mesh(devs, ("limb", "coeff"))
+
+
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 8, reason="needs 8 virtual devices"
+)
+def test_jit_tunnel_sharded_matches_single():
+    """The compiled Tunnel program (3 ring-tunnels, BaseBGad 2) executes
+    SPMD-sharded over a ('limb','coeff') mesh — GSPMD partitions the whole
+    evaluator from the input/hint annotations — bit-identical to the
+    single-device execution (VERDICT r2 #5; north star 'Tunnel ...
+    bit-identical on a v5p slice')."""
+    from alchemy_tpu.examples.common import H0, M_MAP, switch
+    from alchemy_tpu.examples.tunnel import PT, ZP, ZQS
+    from alchemy_tpu.she.gadget import BaseBGad
+
+    rng = np.random.default_rng(1)
+    bk = XB
+    expr = switch(3, ZP, "xla")
+    x = Cyc.from_coeffs(H0, (ZP,), rng.integers(0, ZP, totient(H0)), bk)
+    ctx = KeysHints(3.0, seed=1, bk=bk)
+    compiled = pt2ct(expr, res_ty=PT, m_map=M_MAP, zqs=ZQS, gad=BaseBGad(2), ctx=ctx)
+    ct = compiled.encrypt_arg(x, 0)
+
+    single = jit_compile(compiled, [ct])(ct)
+    sharded = jit_compile(compiled, [ct], mesh=_mesh_2d())(ct)
+    for cs, cf in zip(single.comps, sharded.comps):
+        assert np.array_equal(np.asarray(cs.data), np.asarray(cf.data))
+    assert compiled.decrypt(sharded).equals(eval_ir(expr, x))
