@@ -1,0 +1,183 @@
+"""PP — level-pipeline parallelism for deep ciphertext chains (SURVEY.md
+§2.4 PP row: "stage ciphertext levels across mesh subsets").
+
+A depth-D mul+relin+rescale chain is sequential per ciphertext (PT2CT Mul_
+chain, /root/reference Crypto/Alchemy/Interpreter/PT2CT.hs:160-177), but a
+BATCH of independent ciphertexts pipelines GPipe-style: the mesh axis
+'stage' owns D/S consecutive levels each, micro-batches flow stage→stage
+over one `ppermute` hop per tick, and every stage holds ONLY its own
+levels' relinearization hints (the EP-analog hint placement of §2.4 —
+per-level hints are resident on exactly one stage, so hint HBM per device
+drops by S×).
+
+Layout: the padded deep-chain convention of parallel/dist.py — ciphertexts
+stay at the full allocation [mb, 2, L0, n] with the active limb prefix
+shrinking one row per level; all level-dependent rescale constants enter as
+stage-sharded ARRAYS so a single shard_map trace serves every stage.
+
+Validated bit-exactly against the sequential single-device chain
+(tests/test_pipeline.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from alchemy_tpu.backend.xla import _cond_sub, mulmod_shoup, shoup_const
+from alchemy_tpu.she import fast
+from alchemy_tpu.she.fast import FastParams, _intt_p, _ntt_p, _reduce_u32
+
+
+def _level_consts(p: FastParams, level: int):
+    """Numpy constants for the padded rescale at `level` (active prefix
+    L0-level → L0-level-1); same math as parallel/dist.make_dist_rescale."""
+    qs = p.qs
+    L0 = len(qs)
+    active = L0 - level
+    assert active >= 2
+    qk = qs[active - 1]
+    pz = p.zp
+    assert pz & (pz - 1) == 0
+    keep = np.zeros((L0, 1), dtype=np.uint32)
+    sel = np.zeros((L0, 1), dtype=np.uint32)
+    sel[active - 1] = 1
+    qk_mod = np.zeros((L0, 1), dtype=np.uint32)
+    qk_mod_s = np.zeros((L0, 1), dtype=np.uint32)
+    inv_qk = np.ones((L0, 1), dtype=np.uint32)
+    inv_qk_s = np.zeros((L0, 1), dtype=np.uint32)
+    for j, qj in enumerate(qs):
+        if j >= active - 1:
+            continue
+        keep[j] = 1
+        qk_mod[j] = qk % qj
+        qk_mod_s[j] = shoup_const(qk % qj, qj)
+        iv = pow(qk, -1, qj)
+        inv_qk[j] = iv
+        inv_qk_s[j] = shoup_const(iv, qj)
+    return {
+        "keep": keep, "sel": sel, "qk_mod": qk_mod, "qk_mod_s": qk_mod_s,
+        "inv_qk": inv_qk, "inv_qk_s": inv_qk_s,
+        "half": np.uint32(qk // 2).reshape(1),
+        "qk_mod_p": np.uint32(qk % pz).reshape(1),
+        "inv_qk_p": np.uint32(pow(qk, -1, pz)).reshape(1),
+    }
+
+
+def rescale_padded(p: FastParams, ct, c):
+    """Padded exact rescale: ct [..., L0, n] NTT domain with rows ≥ active
+    zeroed; drops row active-1 per the constants `c` (_level_consts),
+    keeping the full allocation. Single-device analog of
+    parallel/dist.make_dist_rescale's step (reference semantics: SymmSHE
+    modSwitch, Eval.hs:123)."""
+    consts = fast._fast_consts(p)
+    q = consts["q"]
+    pz = p.zp
+    maskp = np.uint32(pz - 1)
+    pz32 = np.uint32(pz)
+    coeff = _intt_p(p, ct)                               # [..., L0, n]
+    r = jnp.sum(coeff * c["sel"], axis=-2)               # dropped limb's row
+    half = c["half"][0]
+    is_neg = r > half
+    r_mod_p = r & maskp
+    rc_mod_p = jnp.where(
+        is_neg, (r_mod_p + pz32 - (c["qk_mod_p"][0] & maskp)) & maskp, r_mod_p)
+    tt = (((pz32 - rc_mod_p) & maskp) * c["inv_qk_p"][0]) & maskp
+    t_neg = tt > pz // 2
+    rb = r[..., None, :]
+    r_red = _reduce_u32(rb, q, consts["r16"], consts["r16s"])
+    rc = jnp.where(
+        is_neg[..., None, :],
+        jnp.where(r_red >= c["qk_mod"], r_red - c["qk_mod"],
+                  r_red + q - c["qk_mod"]),
+        r_red)
+    ttb = tt[..., None, :]
+    tc = jnp.where(t_neg[..., None, :], q - (pz32 - ttb), ttb)
+    qkt = mulmod_shoup(tc, c["qk_mod"], c["qk_mod_s"], q)
+    delta = _cond_sub(rc + qkt, q)
+    diff = jnp.where(coeff >= delta, coeff - delta, coeff + q - delta)
+    out = mulmod_shoup(diff, c["inv_qk"], c["inv_qk_s"], q)
+    out = out * c["keep"]
+    return _ntt_p(p, out)
+
+
+def make_pipeline_chain(p: FastParams, mesh: Mesh, hints, mb: int,
+                        n_micro: int):
+    """Build the jitted pipelined deep chain.
+
+    hints: list over D levels of (hb, ha) PADDED [L0, L0, n] NTT-domain
+    arrays (rows/targets beyond the level's active prefix zeroed). Requires
+    D % S == 0 for S = mesh.shape['stage']. Returns run(cts) mapping
+    [n_micro·mb, 2, L0, n] → the same shape after all D levels."""
+    S = mesh.shape["stage"]
+    D = len(hints)
+    assert D % S == 0, (D, S)
+    k = D // S
+    L0 = len(p.qs)
+    n = p.n
+    M = n_micro
+
+    hb_all = np.stack([np.asarray(h[0]) for h in hints])  # [D, L0, L0, n]
+    ha_all = np.stack([np.asarray(h[1]) for h in hints])
+    consts = [_level_consts(p, lvl) for lvl in range(D)]
+    c_stack = {
+        key: np.stack([c[key] for c in consts]).reshape(
+            S, k, *consts[0][key].shape)
+        for key in consts[0]
+    }
+    hb_s = hb_all.reshape(S, k, L0, L0, n)
+    ha_s = ha_all.reshape(S, k, L0, L0, n)
+    c_specs = {key: P("stage") for key in c_stack}
+
+    def stage_fn(in_buf, hb_ref, ha_ref, cs):
+        # in_buf [M, mb, 2, L0, n] replicated; hb_ref/ha_ref [1, k, ...]
+        s = jax.lax.axis_index("stage")
+        zeros = jnp.zeros((mb, 2, L0, n), jnp.uint32)
+        out0 = jnp.zeros((M, mb, 2, L0, n), jnp.uint32)
+
+        def tick_body(t, carry):
+            received, out_buf = carry
+            inj = jax.lax.dynamic_index_in_dim(
+                in_buf, jnp.clip(t, 0, M - 1), 0, keepdims=False)
+            use_inj = (s == 0) & (t < M)
+            x = jnp.where(use_inj, inj, jnp.where(s == 0, zeros, received))
+            for j in range(k):
+                hb = hb_ref[0, j]
+                ha = ha_ref[0, j]
+                cj = {key: cs[key][0, j] for key in cs}
+                x = fast._mul_relin_jnp(p, x, x, hb, ha)
+                x = rescale_padded(p, x, cj)
+            slot = jnp.clip(t - (S - 1), 0, M - 1)
+            valid = (s == S - 1) & (t >= S - 1) & (t - (S - 1) < M)
+            upd = jax.lax.dynamic_update_index_in_dim(
+                out_buf, x, slot, 0)
+            out_buf = jnp.where(valid, upd, out_buf)
+            nxt = jax.lax.ppermute(
+                x, "stage", [(i, i + 1) for i in range(S - 1)])
+            return nxt, out_buf
+
+        _, out_buf = jax.lax.fori_loop(
+            0, S + M - 1, tick_body,
+            (jax.lax.pvary(zeros, ("stage",)),
+             jax.lax.pvary(out0, ("stage",))))
+        # only the last stage holds results; replicate via masked psum
+        mask = (s == S - 1).astype(jnp.uint32)
+        return jax.lax.psum(out_buf * mask, "stage")
+
+    sharded = jax.shard_map(
+        stage_fn,
+        mesh=mesh,
+        in_specs=(P(), P("stage"), P("stage"), c_specs),
+        out_specs=P(),
+    )
+
+    @jax.jit
+    def run(cts):
+        in_buf = cts.reshape(M, mb, 2, L0, n)
+        out = sharded(in_buf, jnp.asarray(hb_s), jnp.asarray(ha_s),
+                      {key: jnp.asarray(v) for key, v in c_stack.items()})
+        return out.reshape(M * mb, 2, L0, n)
+
+    return run

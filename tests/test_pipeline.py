@@ -1,0 +1,64 @@
+"""PP — pipelined deep chain over the 'stage' mesh axis, validated
+bit-exactly against the sequential single-device chain (the padded-chain
+layout of the distributed deep-circuit test)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from alchemy_tpu.parallel.pipeline import make_pipeline_chain
+from alchemy_tpu.she import fast
+from alchemy_tpu.she.fast import FastParams
+from alchemy_tpu.she.keys import gaussian_coeffs
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs multiple virtual devices"
+)
+
+
+def test_pipeline_chain_matches_sequential():
+    depth, S, mb, M = 4, 2, 1, 4
+    L0 = 6
+    p = FastParams.make(7, L0, zp=2)
+    rng = np.random.default_rng(5)
+    s_int = gaussian_coeffs(rng, 1.0, p.n)
+
+    def key_at(pp):
+        res = np.stack([s_int % q for q in pp.qs]).astype(np.uint32)
+        return fast._ntt_p(pp, jnp.asarray(res))
+
+    # per-level hints at the level's active chain, zero-padded to [L0, L0, n]
+    hints, ref_hints = [], []
+    cur_p = p
+    for lvl in range(depth):
+        act = L0 - lvl
+        hb, ha = fast.relin_hint(cur_p, key_at(cur_p), rng)
+        pb = np.zeros((L0, L0, p.n), dtype=np.uint32)
+        pa = np.zeros((L0, L0, p.n), dtype=np.uint32)
+        pb[:act, :act] = np.asarray(hb)
+        pa[:act, :act] = np.asarray(ha)
+        hints.append((pb, pa))
+        ref_hints.append((cur_p, hb, ha))
+        cur_p = FastParams(n=p.n, qs=cur_p.qs[:-1], zp=p.zp, impl=p.impl)
+
+    msgs = [rng.integers(0, 2, p.n) for _ in range(M * mb)]
+    cts = [fast.encrypt(p, key_at(p), m, rng) for m in msgs]
+    batch = jnp.asarray(np.stack([np.asarray(c) for c in cts]))  # [B, 2, L0, n]
+
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("stage",))
+    run = make_pipeline_chain(p, mesh, hints, mb=mb, n_micro=M)
+    out = np.asarray(run(batch))
+
+    act_final = L0 - depth
+    for i, ct in enumerate(cts):
+        cur = ct
+        for (pp, hb, ha) in ref_hints:
+            cur = fast.mul_relin(pp, cur, cur, hb, ha)
+            cur = fast.rescale(pp, cur, 1)
+        want = np.asarray(cur)                     # [2, act_final, n]
+        assert np.array_equal(out[i][:, :act_final], want), f"ct {i}"
+        assert not out[i][:, act_final:].any()
