@@ -18,6 +18,7 @@ from typing import Optional
 import numpy as np
 
 from alchemy_tpu.core.cyc import Cyc
+from alchemy_tpu.interp.accumulator import DictAccumulator
 from alchemy_tpu.nt.factor import totient
 from alchemy_tpu.she import bgv
 from alchemy_tpu.she.ct import CT
@@ -28,7 +29,13 @@ from alchemy_tpu.she.tunnel import TunnelHint, tunnel_hint
 
 
 class KeysHints:
-    """The run context for compilation, encryption and decryption."""
+    """The run context for compilation, encryption and decryption.
+
+    Keys and hints are append-only `DictAccumulator` stores — the
+    reification of the reference's KeysHintsT accumulator stack
+    (KeysHints.hs:42 = StateT Keys (StateT Hints (ReaderT v m)) over
+    MonadAccumulator; interp/accumulator.py). Generation appends; lookups
+    are reads; nothing is ever rebound."""
 
     def __init__(self, variance_param: float, seed: int = 0, bk=None):
         if bk is None:
@@ -38,8 +45,8 @@ class KeysHints:
         self.r = float(variance_param)
         self.rng = np.random.default_rng(seed)
         self.bk = bk
-        self.keys: dict[int, SK] = {}
-        self.hints: dict[tuple, object] = {}
+        self.keys: DictAccumulator = DictAccumulator()
+        self.hints: DictAccumulator = DictAccumulator()
 
     # -- keys ---------------------------------------------------------------
 

@@ -217,3 +217,53 @@ def test_local_batch_slice():
 
     s = local_batch_slice(16)
     assert s == slice(0, 16)  # single process
+
+
+def test_monad_accumulator_surface():
+    """MonadAccumulator reification (interp/accumulator.py): append /
+    accumulate / readerToAccumulator semantics and runners
+    (MonadAccumulator.hs:19-26, :68-82), plus the append-only law on the
+    typed store the KeysHints context is built on."""
+    import pytest as _pytest
+
+    from alchemy_tpu.interp.accumulator import (
+        Accumulator,
+        DictAccumulator,
+        eval_accumulator,
+        run_accumulator,
+    )
+
+    # list monoid
+    acc = Accumulator([], lambda a, b: a + (b or []))
+    acc.append([1])
+    got = acc.accumulate(lambda w: (sum(w), [2]))
+    assert got == 1 and acc.value == [1, 2]
+    assert acc.reader(lambda w: len(w)) == 2
+    assert acc.value == [1, 2]  # reader appends nothing
+
+    res, state = run_accumulator(
+        lambda a: (a.append([7]), a.value[-1])[1], [], lambda x, y: x + (y or []))
+    assert res == 7 and state == [7]
+    assert eval_accumulator(lambda a: 42, [], lambda x, y: x) == 42
+
+    d = DictAccumulator()
+    d["k"] = 1
+    d.append({"j": 2})
+    assert dict(d.items()) == {"k": 1, "j": 2} and d.get("x") is None
+    with _pytest.raises(ValueError):
+        d["k"] = 99  # append-only: rebinding raises
+
+
+def test_keys_hints_append_only():
+    """The KeysHints stores enforce the accumulator discipline: memoized
+    keys/hints are never silently rebound (KeysHints.hs:89-96 gen-if-missing
+    semantics)."""
+    from alchemy_tpu.interp.keys_hints import KeysHints
+
+    ctx = KeysHints(1.0, seed=3)
+    sk = ctx.get_key(16)
+    assert ctx.get_key(16) is sk          # memoized, no regeneration
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ctx.keys[16] = "other"
