@@ -196,18 +196,24 @@ def _tensor_intt_kernel(scalars_ref, a0_ref, a1_ref, b0_ref, b1_ref,
 
 
 def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref, w1_ref,
-                        t_ref, t_s_ref, *rest_refs, ndig: int, r: int, B: int,
+                        t_ref, t_s_ref, *rest_refs, dc: int, r: int, B: int,
                         bt: int):
-    """Per-output-limb forward digit NTTs + hint inner product.
+    """Forward digit NTTs + hint inner product, grid (output limb l, digit
+    chunk c): VMEM per step holds only dc digit columns and dc hint rows —
+    independent of the chain length L, so deep chains (L=16) fit the 16 MB
+    scoped budget. The out block is revisited across c (same index_map):
+    initialized from (c0, c1) at c == 0, accumulated after, in ascending
+    digit order — the same association as the unchunked kernel, so results
+    stay bit-identical.
 
-    Both MXU stages run as wide dots over ALL digits: stage 1 directly on
-    the packed coefficient block; stage 3 on VMEM scratch buffers (one per
-    k3) into which the twiddled, butterflied digit blocks are packed. The
-    k3 small twiddles are folded into the stage-3 matrices."""
+    Both MXU stages run as wide dots over the chunk's digits: stage 1
+    directly on the chunk's packed coefficient columns; stage 3 on VMEM
+    scratch (one per k3) with the k3 twiddles folded into the matrices."""
     w2f_refs = rest_refs[:r]
     hb_ref, ha_ref, out_ref = rest_refs[r], rest_refs[r + 1], rest_refs[r + 2]
     scr_refs = rest_refs[r + 3:r + 3 + r]
     l = pl.program_id(0)
+    c = pl.program_id(1)
     q = scalars_ref[l, 0]
     r16 = scalars_ref[l, 1]
     r16s = scalars_ref[l, 2]
@@ -218,53 +224,50 @@ def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref, w1_ref,
         [[w2f_refs[k3][0, d, f] for f in range(4)] for d in range(4)]
         for k3 in range(r)
     ]
-    D = ndig
     Br = r * B
-    # stage-1 dots run over digit GROUPS of ≤ 2048 lanes: the digit-plane
-    # matmul's live f32 plane sums are 4·A·width·4 bytes, so an unchunked
-    # [A, D·Br] dot blows scoped VMEM at D·Br > 2048 (2^16 rings, L=16
-    # deep chains); chunking keeps the peak at the 2^15/L=8 level
-    dchunk = max(1, 2048 // Br)
+    A = scr_refs[0].shape[0] // dc
+
+    @pl.when(c == 0)
+    def _init():
+        for b_i in range(bt):
+            for k3 in range(r):
+                out_ref[0, b_i, 0, :, k3 * B:(k3 + 1) * B] = \
+                    c0_ref[b_i, 0][:, k3 * B:(k3 + 1) * B]
+                out_ref[1, b_i, 0, :, k3 * B:(k3 + 1) * B] = \
+                    c1_ref[b_i, 0][:, k3 * B:(k3 + 1) * B]
+
     for b_i in range(bt):
-        A = scr_refs[0].shape[0] // D
-        for d0 in range(0, D, dchunk):
-            dc = min(dchunk, D - d0)
-            y = _mod_matmul(
-                _planes(c2c_ref[b_i, :, d0 * Br:(d0 + dc) * Br]), w1,
-                q, r16, r16s, r32, r32s, left=True)
-            for di in range(dc):
-                d = d0 + di
-                yd = _shoup(y[:, di * Br:(di + 1) * Br], t_ref[0], t_s_ref[0],
-                            q)
-                if r == 2:
-                    lo, hi = yd[:, :B], yd[:, B:]
-                    blocks = [_addmod(lo, hi, q), _submod(lo, hi, q)]
-                elif r == 4:
-                    blocks = _dft4(
-                        [yd[:, k * B:(k + 1) * B] for k in range(4)],
-                        scalars_ref[l, 5], scalars_ref[l, 6], q)
-                else:
-                    blocks = [yd]
-                for k3 in range(r):
-                    scr_refs[k3][d * A:(d + 1) * A, :] = blocks[k3]
-        out0 = [c0_ref[b_i, 0][:, k3 * B:(k3 + 1) * B] for k3 in range(r)]
-        out1 = [c1_ref[b_i, 0][:, k3 * B:(k3 + 1) * B] for k3 in range(r)]
+        y = _mod_matmul(_planes(c2c_ref[b_i]), w1,
+                        q, r16, r16s, r32, r32s, left=True)   # [A, dc·Br]
+        for di in range(dc):
+            yd = _shoup(y[:, di * Br:(di + 1) * Br], t_ref[0], t_s_ref[0], q)
+            if r == 2:
+                lo, hi = yd[:, :B], yd[:, B:]
+                blocks = [_addmod(lo, hi, q), _submod(lo, hi, q)]
+            elif r == 4:
+                blocks = _dft4(
+                    [yd[:, k * B:(k + 1) * B] for k in range(4)],
+                    scalars_ref[l, 5], scalars_ref[l, 6], q)
+            else:
+                blocks = [yd]
+            for k3 in range(r):
+                scr_refs[k3][di * A:(di + 1) * A, :] = blocks[k3]
         for k3 in range(r):
-            # stage 3 for ALL digits at once: digits packed along rows, one
-            # [D·A, B] @ [B, B] dot per k3
+            # stage 3 for the chunk's digits at once: one [dc·A, B] @ [B, B]
             z = _mod_matmul(_planes(scr_refs[k3][...]), w2f[k3],
                             q, r16, r16s, r32, r32s, left=False)
-            for d in range(D):
-                zd = z[d * A:(d + 1) * A, :]
-                hb = hb_ref[d, 0][:, k3 * B:(k3 + 1) * B]
-                ha = ha_ref[d, 0][:, k3 * B:(k3 + 1) * B]
-                out0[k3] = _addmod(
-                    out0[k3], _mulmod_gen(zd, hb, q, r16, r16s, r32, r32s), q)
-                out1[k3] = _addmod(
-                    out1[k3], _mulmod_gen(zd, ha, q, r16, r16s, r32, r32s), q)
-        for k3 in range(r):
-            out_ref[0, b_i, 0, :, k3 * B:(k3 + 1) * B] = out0[k3]
-            out_ref[1, b_i, 0, :, k3 * B:(k3 + 1) * B] = out1[k3]
+            o0 = out_ref[0, b_i, 0, :, k3 * B:(k3 + 1) * B]
+            o1 = out_ref[1, b_i, 0, :, k3 * B:(k3 + 1) * B]
+            for di in range(dc):
+                zd = z[di * A:(di + 1) * A, :]
+                hb = hb_ref[di, 0][:, k3 * B:(k3 + 1) * B]
+                ha = ha_ref[di, 0][:, k3 * B:(k3 + 1) * B]
+                o0 = _addmod(
+                    o0, _mulmod_gen(zd, hb, q, r16, r16s, r32, r32s), q)
+                o1 = _addmod(
+                    o1, _mulmod_gen(zd, ha, q, r16, r16s, r32, r32s), q)
+            out_ref[0, b_i, 0, :, k3 * B:(k3 + 1) * B] = o0
+            out_ref[1, b_i, 0, :, k3 * B:(k3 + 1) * B] = o1
 
 
 def _limb_spec(shape):
@@ -337,6 +340,11 @@ def _tensor_intt_call(p, ct_a, ct_b):
     )(t["scal"], a0, a1, b0, b1, *t["w2if"], t["Ti"], t["Ti_s"], t["w1i"])
 
 
+def _limb_spec2(shape):
+    return pl.BlockSpec((1, *shape), lambda l, c: (l, *([0] * len(shape))),
+                        memory_space=pltpu.VMEM)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
     """One fused call over a static batch [Bt, 2, L, n] (Bt ≤ MAX_BATCH)."""
@@ -346,29 +354,55 @@ def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
     A, B, r = t["A"], t["B"], t["r"]
     Br = B * r
     Bt = ct_a.shape[0]
-    smem = pl.BlockSpec((L, 9), lambda l: (0, 0), memory_space=pltpu.SMEM)
     c0, c1, c2c = _tensor_intt_call(p, ct_a, ct_b)
 
+    # digit-chunked grid: dc digits per step (≤ 2048 lanes for the stage-1
+    # wide dot); VMEM is chunk-sized, independent of L. Shrink dc until the
+    # estimated working set (double-buffered c2c chunk + hint rows + in/out
+    # streams + scratch + ~3.5 MB tables/stack) fits the 16 MB scoped VMEM.
+    # dc·Br ≤ 2048 bounds the stage-1 wide dot's live f32 plane sums; when
+    # the chunk grid has > 1 step the c2c/hint chunk streams double-buffer,
+    # so halve the chunk to stay inside the 16 MB scoped budget (measured:
+    # L=8/r=2 fits at dc=8 single-chunk; L=16/r=2 at dc=8 and L=8/r=4 at
+    # dc=4 exceed it by < 1 MB — one halving clears both)
+    dc = min(max(1, 2048 // Br), L)
+    if L > dc:
+        dc = max(1, dc // 2)
+    C = -(-L // dc)
+    D_pad = C * dc
     hb = hint_b.reshape(L, L, A, Br)
     ha = hint_a.reshape(L, L, A, Br)
-    dig_spec = pl.BlockSpec((L, 1, A, Br), lambda l: (0, l, 0, 0),
+    if D_pad != L:
+        zrows = jnp.zeros((D_pad - L, L, A, Br), jnp.uint32)
+        hb = jnp.concatenate([hb, zrows], axis=0)
+        ha = jnp.concatenate([ha, zrows], axis=0)
+        c2c = jnp.concatenate(
+            [c2c, jnp.zeros((Bt, A, (D_pad - L) * Br), jnp.uint32)], axis=-1)
+    smem = pl.BlockSpec((L, 9), lambda l, c: (0, 0), memory_space=pltpu.SMEM)
+    dig_spec = pl.BlockSpec((dc, 1, A, Br), lambda l, c: (c, l, 0, 0),
                             memory_space=pltpu.VMEM)
+    batch2 = lambda shape: pl.BlockSpec(
+        (Bt, 1, *shape), lambda l, c: (0, l, *([0] * len(shape))),
+        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        partial(_digit_relin_kernel, ndig=L, r=r, B=B, bt=Bt),
-        grid=(L,),
+        partial(_digit_relin_kernel, dc=dc, r=r, B=B, bt=Bt),
+        grid=(L, C),
         in_specs=[
             smem,
-            _full_spec((Bt, A, L * Br)),             # all digit coefficients
-            _batch_spec(Bt, (A, Br)), _batch_spec(Bt, (A, Br)),
-            _limb_spec((4, 4, A, A)),
-            _limb_spec((A, Br)), _limb_spec((A, Br)),
-            *[_limb_spec((4, 4, B, B)) for _ in range(r)],
+            pl.BlockSpec((Bt, A, dc * Br), lambda l, c: (0, 0, c),
+                         memory_space=pltpu.VMEM),   # chunk's digit columns
+            batch2((A, Br)), batch2((A, Br)),
+            _limb_spec2((4, 4, A, A)),
+            _limb_spec2((A, Br)), _limb_spec2((A, Br)),
+            *[_limb_spec2((4, 4, B, B)) for _ in range(r)],
             dig_spec, dig_spec,
         ],
-        out_specs=pl.BlockSpec((2, Bt, 1, A, Br), lambda l: (0, 0, l, 0, 0),
+        out_specs=pl.BlockSpec((2, Bt, 1, A, Br),
+                               lambda l, c: (0, 0, l, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, Bt, L, A, Br), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((L * A, B), jnp.uint32) for _ in range(r)],
+        scratch_shapes=[pltpu.VMEM((dc * A, B), jnp.uint32)
+                        for _ in range(r)],
     )(t["scal"], c2c, c0, c1, t["w1"], t["T"], t["T_s"],
       *t["w2f"], hb, ha)
     return jnp.moveaxis(out.reshape(2, Bt, L, n), 0, 1)
@@ -525,16 +559,31 @@ def hybrid_digit_stage_pallas(n: int, ext_qs: tuple[int, ...],
 def mul_relin_pallas(p, ct_a, ct_b, hint_b, hint_a):
     """Fused multiply+relinearize, [2, L, n] or batched [Bt, 2, L, n] cts
     (3-factor NTT domain), raw u32 hints [L, L, n]. Bit-identical to
-    she/fast.mul_relin with impl="pallas" on the same inputs. Batches larger
-    than the VMEM cap (max_batch) are processed in chunks per fused call."""
+    she/fast.mul_relin with impl="pallas" on the same inputs.
+
+    Batches larger than the VMEM cap (max_batch) chunk through `lax.map`:
+    the while-loop SERIALIZES the fused calls — unrolled chunk calls let the
+    XLA scheduler overlap neighboring kernels' scoped-VMEM stacks and blow
+    the 16 MB limit at large batches (observed at batch=256) — and compiles
+    the kernel pair once regardless of batch."""
     if ct_a.ndim == 3:
         return _mul_relin_pallas_one(
             p, ct_a[None], ct_b[None], hint_b, hint_a)[0]
     Bt = ct_a.shape[0]
     cap = max_batch(p.n, len(p.qs))
-    outs = []
-    for s in range(0, Bt, cap):
-        e = min(s + cap, Bt)
-        outs.append(_mul_relin_pallas_one(
-            p, ct_a[s:e], ct_b[s:e], hint_b, hint_a))
-    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    if Bt <= cap:
+        return _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a)
+    main = (Bt // cap) * cap
+
+    def chunk(ab):
+        return _mul_relin_pallas_one(p, ab[0], ab[1], hint_b, hint_a)
+
+    sh = (Bt // cap, cap, *ct_a.shape[1:])
+    out = jax.lax.map(
+        chunk, (ct_a[:main].reshape(sh), ct_b[:main].reshape(sh)))
+    out = out.reshape(main, *ct_a.shape[1:])
+    if main == Bt:
+        return out
+    rest = _mul_relin_pallas_one(
+        p, ct_a[main:], ct_b[main:], hint_b, hint_a)
+    return jnp.concatenate([out, rest], axis=0)

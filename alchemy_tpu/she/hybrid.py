@@ -138,7 +138,23 @@ def rescale_joint(p: FastParams, ct, k_drop: int):
     deviation, exactness and noise bounds identical).
 
     ct: [..., T, n] NTT domain → [..., T-k_drop, n]. Requires zp a power of
-    two (all reference configs) and chain primes ≡ 1 mod zp (NTT primes)."""
+    two (all reference configs) and chain primes ≡ 1 mod zp (NTT primes).
+
+    With impl="pallas" (Mosaic tiling constraints met) the transforms run
+    as fused VMEM-resident kernels (backend/pallas/rescale_pallas.py),
+    bit-identical to this jnp formulation."""
+    if (p.impl == "pallas" and p.n % 16384 == 0
+            and p.n // 16384 in (1, 2, 4)):
+        from alchemy_tpu.backend.pallas.rescale_pallas import (
+            rescale_joint_pallas,
+        )
+
+        return rescale_joint_pallas(p, ct, k_drop)
+    return _rescale_joint_jnp(p, ct, k_drop)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _rescale_joint_jnp(p: FastParams, ct, k_drop: int):
     qs = p.qs
     keep, drop = qs[:-k_drop], qs[-k_drop:]
     pz = p.zp

@@ -61,10 +61,20 @@ def main():
     tb, ta = fast.relin_hint(p, s, np.random.default_rng(2), shoup=True)
     c1 = fast.encrypt(p, s, rng.integers(0, 2, p.n), rng)
     c2 = fast.encrypt(p, s, rng.integers(0, 2, p.n), rng)
-    o_h = mul_relin_hybrid(hk, c1, c2, hb, ha)
-    o_t = fast.mul_relin(p, c1, c2, tb, ta)
-    d_h = timed(lambda o: mul_relin_hybrid(hk, c1, o, hb, ha), o_h, secs)
-    d_t = timed(lambda o: fast.mul_relin(p, c1, o, tb, ta), o_t, secs)
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=0)
+    def step_h(hk_, o):
+        return mul_relin_hybrid(hk_, c1, o, hb, ha)
+
+    @partial(jax.jit, static_argnums=0)
+    def step_t(p_, o):
+        return fast.mul_relin(p_, c1, o, tb, ta)
+
+    o_h = step_h(hk, c2)
+    o_t = step_t(p, c2)
+    d_h = timed(lambda o: step_h(hk, o), o_h, secs)
+    d_t = timed(lambda o: step_t(p, o), o_t, secs)
     print(f"hybrid  {d_h*1e3:8.2f} ms/op ({1/d_h:7.1f} ops/s)")
     print(f"trivgad {d_t*1e3:8.2f} ms/op ({1/d_t:7.1f} ops/s)  -> {d_t/d_h:.2f}x")
     print("decrypt parity:",

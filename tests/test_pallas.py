@@ -226,3 +226,57 @@ def test_pallas_hybrid_mul_relin_interpret_bit_identical(monkeypatch):
     d1 = fast.decrypt(p, s, out)
     d2 = fast.decrypt(p, s, ref)
     assert np.array_equal(d1, d2)
+
+
+def test_pallas_rescale_joint_interpret_bit_identical(monkeypatch):
+    """The fused joint P-rescale kernels (backend/pallas/rescale_pallas.py —
+    kernel C iNTT + δ-correction/P-division/forward-NTT kernel D) match the
+    jnp formulation bit-for-bit."""
+    _patch_interpret_mr(monkeypatch)
+    from alchemy_tpu.backend.pallas.rescale_pallas import rescale_joint_pallas
+    from alchemy_tpu.she.fast import FastParams
+    from alchemy_tpu.she.hybrid import _rescale_joint_jnp
+
+    p = FastParams.make(14, 6, zp=2, impl="pallas")
+    rng = np.random.default_rng(3)
+    ct = jnp.asarray(np.stack(
+        [[rng.integers(0, q, p.n) for q in p.qs] for _ in range(2)]
+    ).astype(np.uint32))                       # [2, T=6, n]
+    ref = _rescale_joint_jnp(p, ct, 2)
+    out = rescale_joint_pallas(p, ct, 2)
+    assert np.array_equal(np.asarray(ref), np.asarray(out))
+    # and via the dispatcher (impl="pallas" at 2^14 routes to the kernels)
+    from alchemy_tpu.she.hybrid import rescale_joint
+
+    out2 = rescale_joint(p, ct, 2)
+    assert np.array_equal(np.asarray(ref), np.asarray(out2))
+
+
+def test_pallas_hybrid_full_with_kernel_rescale(monkeypatch):
+    """Full hybrid mul+relin at n=2^14 through ALL fused kernels (tensor
+    product, hybrid digit stage, joint P-rescale) still decrypts to the
+    plaintext product (the §4 differential oracle)."""
+    _patch_interpret_mr(monkeypatch)
+    from alchemy_tpu.she import fast
+    from alchemy_tpu.she.fast import FastParams
+    from alchemy_tpu.she.hybrid import (
+        HybridKS,
+        hybrid_keygen_hint,
+        mul_relin_hybrid,
+    )
+
+    p = FastParams.make(14, 4, zp=2, impl="pallas")
+    hk = HybridKS.make(p)
+    rng = np.random.default_rng(11)
+    s, (hb, ha) = hybrid_keygen_hint(hk, rng)
+    m1 = rng.integers(0, 2, p.n)
+    m2 = rng.integers(0, 2, p.n)
+    ct1 = fast.encrypt(p, s, m1, rng)
+    ct2 = fast.encrypt(p, s, m2, rng)
+    out = mul_relin_hybrid(hk, ct1, ct2, hb, ha)
+    # oracle: negacyclic convolution mod 2 (x^n = −1 ≡ +1 mod 2) — the
+    # golden Cyc product at m = 2^15 is a dense transform, far too slow here
+    conv = np.convolve(m1.astype(np.int64), m2.astype(np.int64))
+    want = (np.concatenate([conv, [0]])[: p.n]
+            + np.concatenate([conv[p.n:], np.zeros(1, np.int64)])) % 2
+    assert np.array_equal(fast.decrypt(p, s, out), want)
