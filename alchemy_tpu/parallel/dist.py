@@ -318,16 +318,90 @@ def _add(a, b, q):
 # ---------------------------------------------------------------------------
 
 
-def make_dist_mul_relin(cfg: DistConfig, mesh: Mesh, strategy: str | None = None):
+def make_dist_mul_relin(cfg: DistConfig, mesh: Mesh, strategy: str | None = None,
+                        hint_placement: str = "digit"):
     """Build a jitted, mesh-sharded batched mul+relin:
-    cts [B, 2, L, n] × hints [L, L, n] → [B, 2, L, n]."""
+    cts [B, 2, L, n] × hints [L, L, n] → [B, 2, L, n].
+
+    hint_placement (SURVEY.md §2.4 EP-analog row):
+    - "digit" (default): hint gadget-row axis replicated, target-limb and
+      coefficient axes sharded; one all_gather of the c2 coefficient rows
+      over 'limb' per relin. Hint HBM per device = L·L_loc·n_loc·4 B.
+    - "row": hint GADGET ROWS sharded over 'limb' — each device holds only
+      its own digits' rows (at all target limbs) and computes their digit
+      NTTs + partial hint products; ONE psum over 'limb' combines. Hint HBM
+      per device drops by limb_shards× (the oversized-hint placement);
+      traffic trades the row all_gather for a 2×-larger psum."""
     strategy = strategy or pick_dist_strategy(mesh)
     C = mesh.shape["coeff"]
+    LS = mesh.shape["limb"]
     t = dist_tables(cfg)
     L = len(cfg.p.qs)
 
     tab_specs = _tab_specs(t)
     ct_spec = P("batch", None, "limb", "coeff")
+
+    if hint_placement == "row":
+        assert L % LS == 0 and LS & (LS - 1) == 0
+        L_loc = L // LS
+        hint_spec = P("limb", None, "coeff")
+        # replicated-limb table specs: the digit NTT in row mode runs over
+        # the FULL limb axis on every device (tables are small)
+        full_tabs = {
+            k: (jax.tree.map(lambda _: P(None, "coeff"), v)
+                if k in ("pre", "post", "tw", "itw")
+                else jax.tree.map(lambda _: P(None, None), v))
+            for k, v in _tab_specs(t).items()
+        }
+
+        def step(ct_a, ct_b, hb, ha, tabs, ftabs):
+            q = tabs["q"]
+            a0, a1 = ct_a[:, 0], ct_a[:, 1]
+            b0, b1 = ct_b[:, 0], ct_b[:, 1]
+            c0 = _mul(a0, b0, tabs)
+            c1 = _add(_mul(a0, b1, tabs), _mul(a1, b0, tabs), q)
+            c2 = _mul(a1, b1, tabs)
+            c2_coeff = _dist_intt_local(c2, tabs, cfg, strategy, C)
+            B_loc = c2_coeff.shape[0]
+            fq = ftabs["q"]
+            part0 = jnp.zeros((B_loc, L, c2_coeff.shape[-1]), jnp.uint32)
+            part1 = jnp.zeros_like(part0)
+            for i_loc in range(L_loc):
+                row = c2_coeff[:, i_loc:i_loc + 1, :]
+                dig = _reduce_u32_local(
+                    jnp.broadcast_to(row, part0.shape), fq,
+                    ftabs["r16"], ftabs["r16s"])
+                dig_ntt = _dist_ntt_local(dig, ftabs, cfg, strategy, C)
+                part0 = _add(part0, _mul(dig_ntt, hb[i_loc][None], ftabs), fq)
+                part1 = _add(part1, _mul(dig_ntt, ha[i_loc][None], ftabs), fq)
+            # mod-q allreduce by recursive doubling: a raw psum would leave
+            # values in [0, LS·q) and can wrap uint32 — each hop's _add
+            # reduces, staying exact for any mesh size (LS a power of two)
+            tot = jnp.stack([part0, part1], axis=1)
+            k = 1
+            while k < LS:
+                peer = jax.lax.ppermute(
+                    tot, "limb", [(i, i ^ k) for i in range(LS)])
+                tot = _add(tot, peer, fq)
+                k *= 2
+            li = jax.lax.axis_index("limb")
+            own = jax.lax.dynamic_slice_in_dim(tot, li * L_loc, L_loc, axis=2)
+            return jnp.stack([_add(c0, own[:, 0], q),
+                              _add(c1, own[:, 1], q)], axis=1)
+
+        sharded = jax.shard_map(
+            step, mesh=mesh,
+            in_specs=(ct_spec, ct_spec, hint_spec, hint_spec, tab_specs,
+                      full_tabs),
+            out_specs=ct_spec,
+        )
+
+        @jax.jit
+        def run(ct_a, ct_b, hb, ha):
+            return sharded(ct_a, ct_b, hb, ha, t, t)
+
+        return run
+
     hint_spec = P(None, "limb", "coeff")
 
     def step(ct_a, ct_b, hb, ha, tabs):

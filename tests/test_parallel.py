@@ -257,3 +257,60 @@ def test_dist_ntt_communication_pattern():
     txt_r = fwd_r.lower(x).as_text()
     assert "all_to_all" not in txt_r
     assert txt_r.count("collective_permute") == C - 1
+
+
+def test_dist_mul_relin_large_batch_dp():
+    """configs[4] mesh claim: a ciphertext batch LARGER than the mesh (B=16
+    on 2 batch shards) runs DP+limb+coeff-sharded and every batch row matches
+    the single-chip fast path bit-exactly."""
+    p, cfg, mesh = setup(log_n=7, nlimb=4)
+    B = 16
+    rng = np.random.default_rng(9)
+    s = fast.keygen(p, rng)
+    hb, ha = fast.relin_hint(p, s, rng)
+    cts = [fast.encrypt(p, s, rng.integers(0, 2, p.n), rng) for _ in range(B)]
+
+    fwd, inv = make_dist_ntt(cfg, mesh)
+
+    def bridge_rows(rows):
+        """[K, L, n] fast-NTT-domain rows → dist NTT domain (one fwd call)."""
+        coeff = np.asarray(intt_negacyclic(jnp.asarray(rows), p.n, p.qs))
+        stored = to_dist_layout(coeff, cfg)
+        return np.asarray(fwd(jnp.asarray(stored)))
+
+    d_cts = bridge_rows(
+        np.stack([np.asarray(c) for c in cts]).reshape(2 * B, len(p.qs), p.n)
+    ).reshape(B, 2, len(p.qs), p.n)
+    d_hb = bridge_rows(np.stack([np.asarray(hb[i]) for i in range(len(p.qs))]))
+    d_ha = bridge_rows(np.stack([np.asarray(ha[i]) for i in range(len(p.qs))]))
+
+    run = make_dist_mul_relin(cfg, mesh)
+    # pairwise products ct[i] * ct[(i+1) % B], all in one sharded call
+    other = jnp.asarray(np.roll(d_cts, -1, axis=0))
+    out = np.asarray(run(jnp.asarray(d_cts), other, jnp.asarray(d_hb),
+                         jnp.asarray(d_ha)))
+    got = np.asarray(inv(jnp.asarray(out.reshape(2 * B, len(p.qs), p.n))))
+    got = from_dist_layout(got, cfg).reshape(B, 2, len(p.qs), p.n)
+    for i in range(B):
+        want = fast.mul_relin(p, cts[i], cts[(i + 1) % B], hb, ha)
+        want_coeff = np.asarray(intt_negacyclic(want, p.n, p.qs))
+        assert np.array_equal(got[i], want_coeff), f"row {i}"
+
+
+def test_row_hint_placement_matches_digit():
+    """EP-analog gadget-row hint sharding (hint_placement='row'): hints are
+    row-sharded over 'limb' (per-device hint memory drops limb_shards×),
+    combined by one psum — bit-identical to the default digit placement."""
+    p, cfg, mesh = setup(log_n=7, nlimb=4)
+    rng = np.random.default_rng(13)
+    s = fast.keygen(p, rng)
+    hb, ha = fast.relin_hint(p, s, rng)
+    ct = fast.encrypt(p, s, rng.integers(0, 2, p.n), rng)
+    d = np.stack([np.asarray(ct)] * 2).astype(np.uint32)
+    args = (jnp.asarray(d),) * 2 + (
+        jnp.asarray(np.stack([np.asarray(hb[i]) for i in range(len(p.qs))])),
+        jnp.asarray(np.stack([np.asarray(ha[i]) for i in range(len(p.qs))])),
+    )
+    out_d = make_dist_mul_relin(cfg, mesh)(*args)
+    out_r = make_dist_mul_relin(cfg, mesh, hint_placement="row")(*args)
+    assert np.array_equal(np.asarray(out_d), np.asarray(out_r))
