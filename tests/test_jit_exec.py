@@ -101,3 +101,27 @@ def test_jit_tunnel_sharded_matches_single():
     for cs, cf in zip(single.comps, sharded.comps):
         assert np.array_equal(np.asarray(cs.data), np.asarray(cf.data))
     assert compiled.decrypt(sharded).equals(eval_ir(expr, x))
+
+
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 8, reason="needs 8 virtual devices"
+)
+def test_jit_arithmetic_sharded_matches_single():
+    """The compiled mul/keySwitchQuad program under SPMD sharding (the
+    gadget digit fan-out partitioned by GSPMD) — bit-identical to the
+    single-device run."""
+    from alchemy_tpu.examples.arithmetic import M, M_MAP, PT, ZP, ZQS, addMul
+
+    rng = np.random.default_rng(4)
+    bk = XB
+    pt1 = Cyc.from_coeffs(M, (ZP,), rng.integers(0, ZP, totient(M)), bk)
+    pt2 = Cyc.from_coeffs(M, (ZP,), rng.integers(0, ZP, totient(M)), bk)
+    ctx = KeysHints(3.0, seed=4, bk=bk)
+    compiled = pt2ct(addMul, res_ty=PT, m_map=M_MAP, zqs=ZQS, gad=TrivGad(), ctx=ctx)
+    a1 = compiled.encrypt_arg(pt1, 0)
+    a2 = compiled.encrypt_arg(pt2, 1)
+    single = jit_compile(compiled, [a1, a2])(a1, a2)
+    sharded = jit_compile(compiled, [a1, a2], mesh=_mesh_2d())(a1, a2)
+    for cs, cf in zip(single.comps, sharded.comps):
+        assert np.array_equal(np.asarray(cs.data), np.asarray(cf.data))
+    assert compiled.decrypt(sharded).equals(eval_ir(addMul, pt1, pt2))
