@@ -226,21 +226,40 @@ class Cyc:
 
     def _plaintext_mul(self, other: "Cyc") -> "Cyc":
         """Ring multiplication over a non-NTT modulus (plaintext side): lift
-        centered to Z, multiply exactly via a scratch NTT prime, reduce back."""
+        centered to Z, multiply exactly via scratch NTT primes, reduce back.
+        Large plaintext moduli use as many ~31-bit scratch primes as the
+        exact integer product bound φ·(p/2+1)²·4 needs (CRT-reconstructed
+        host-side with python ints — compile-time only, never on the hot
+        path)."""
         assert self.nlimb == 1 and other.nlimb == 1
         p = self.qs[0]
         bound = self.ring.phi * (p // 2 + 1) ** 2 * 4
-        bits = max(bound.bit_length() + 1, 24)
-        if bits > 30:
-            raise NotImplementedError("plaintext mul needs multi-prime scratch CRT")
-        Q = _scratch_prime(self.m, 31)
         a = _lift_centered_host(self.to_pow(), signed=True)[0]
         b = _lift_centered_host(other.to_pow(), signed=True)[0]
-        ca = Cyc.from_coeffs(self.m, (Q,), a % Q, self.bk)
-        cb = Cyc.from_coeffs(self.m, (Q,), b % Q, self.bk)
-        prod = (ca * cb).to_pow()
-        res = _lift_centered_host(prod, signed=True)[0]
-        return Cyc.from_coeffs(self.m, self.qs, res % p, self.bk, POW)
+        primes: list[int] = []
+        P = 1
+        while P <= 2 * bound:
+            Q = _scratch_prime(self.m, 31, avoid=tuple(primes))
+            primes.append(Q)
+            P *= Q
+        residues = []
+        for Q in primes:
+            ca = Cyc.from_coeffs(self.m, (Q,), a % Q, self.bk)
+            cb = Cyc.from_coeffs(self.m, (Q,), b % Q, self.bk)
+            residues.append(self.bk.to_numpy((ca * cb).to_pow().data)[0])
+        if len(primes) == 1:
+            res = np.where(residues[0] > primes[0] // 2,
+                           residues[0] - primes[0], residues[0])
+        else:
+            # exact CRT reconstruction over python ints (object dtype)
+            acc = np.zeros(self.ring.phi, dtype=object)
+            for Q, r in zip(primes, residues):
+                Pi = P // Q
+                c = Pi * pow(Pi % Q, -1, Q)
+                acc = (acc + c * r.astype(object)) % P
+            res = np.where(acc > P // 2, acc - P, acc)
+        return Cyc.from_coeffs(
+            self.m, self.qs, np.array(res % p, dtype=np.int64), self.bk, POW)
 
     # -- ring maps ----------------------------------------------------------
 
@@ -442,8 +461,8 @@ def _dec_factor_matrix(p: int, e: int, invert: bool) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _scratch_prime(m: int, bits: int) -> int:
-    return find_ntt_prime(m, bits)
+def _scratch_prime(m: int, bits: int, avoid: tuple[int, ...] = ()) -> int:
+    return find_ntt_prime(m, bits, avoid=avoid)
 
 
 def _lift_centered_host(c: Cyc, signed: bool = True) -> np.ndarray:

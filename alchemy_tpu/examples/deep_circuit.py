@@ -90,9 +90,14 @@ if __name__ == "__main__":
     import os
     import sys
 
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/alchemy_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     ok, _ = run(
         log_n=int(os.environ.get("DEEP_LOG_N", "13")),
         depth=int(os.environ.get("DEEP_DEPTH", "16")),
         ks=os.environ.get("DEEP_KS", "trivgad"),
+        impl=os.environ.get("DEEP_IMPL") or None,
     )
     sys.exit(0 if ok else 1)

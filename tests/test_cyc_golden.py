@@ -201,3 +201,37 @@ def test_rel_dec_matches_pow_on_shared_primes():
     a = x.rel_coeffs(e, basis="dec")
     b = x.rel_coeffs(e, basis="pow")
     assert all(ca.equals(cb) for ca, cb in zip(a, b))
+
+
+def test_plaintext_mul_large_modulus_multiprime():
+    """Plaintext-side ring mul beyond the single-scratch-prime bound (the
+    round-2 documented cliff): a ~20-bit plaintext modulus forces the
+    multi-prime CRT reconstruction; checked against an exact object-int
+    negacyclic convolution."""
+    import numpy as np
+
+    from alchemy_tpu.backend import golden_backend
+    from alchemy_tpu.core.cyc import Cyc
+
+    BK = golden_backend()
+    m = 64  # phi = 32, power of 2 -> negacyclic host check is easy
+    p = (1 << 20) + 7   # odd, not NTT-friendly for m -> _plaintext_mul path
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, p, 32)
+    b = rng.integers(0, p, 32)
+    ca = Cyc.from_coeffs(m, (p,), a, BK)
+    cb = Cyc.from_coeffs(m, (p,), b, BK)
+    got = BK.to_numpy((ca * cb).to_pow().data)[0]
+    # exact negacyclic convolution with python ints
+    n = 32
+    want = [0] * n
+    for i in range(n):
+        for j in range(n):
+            k = i + j
+            v = int(a[i]) * int(b[j])
+            if k < n:
+                want[k] += v
+            else:
+                want[k - n] -= v
+    want = np.array([w % p for w in want], dtype=np.int64)
+    assert np.array_equal(got, want)
