@@ -125,3 +125,33 @@ def test_jit_arithmetic_sharded_matches_single():
     for cs, cf in zip(single.comps, sharded.comps):
         assert np.array_equal(np.asarray(cs.data), np.asarray(cf.data))
     assert compiled.decrypt(sharded).equals(eval_ir(addMul, pt1, pt2))
+
+
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 8, reason="needs 8 virtual devices"
+)
+def test_jit_homomrlwr_sharded_matches_single():
+    """The compiled HomomRLWR program (5 ring-tunnels + depth-5 rescale
+    tree — the reference's deep workload) executes SPMD-sharded over the
+    ('limb','coeff') mesh, bit-identical to single-device, and decrypts to
+    the plaintext ring-rounding result."""
+    from alchemy_tpu.examples.common import H0, M_MAP
+    from alchemy_tpu.examples.homomrlwr import PT, ZP_IN, ZQS, ring_round
+    from alchemy_tpu.she import bgv
+    from alchemy_tpu.she.gadget import TrivGad
+
+    rng = np.random.default_rng(7)
+    bk = XB
+    expr = ring_round("xla")
+    ctx = KeysHints(5.0, seed=7, bk=bk)
+    compiled = pt2ct(expr, res_ty=PT, m_map=M_MAP, zqs=ZQS, gad=TrivGad(), ctx=ctx)
+    s = Cyc.from_coeffs(H0, (ZP_IN,), rng.integers(0, ZP_IN, totient(H0)), bk)
+    a = Cyc.from_coeffs(H0, (ZP_IN,), rng.integers(0, ZP_IN, totient(H0)), bk)
+    enc_s = compiled.encrypt_arg(s, 0)
+    ct_sa = bgv.mul_public(a, enc_s)
+
+    single = jit_compile(compiled, [ct_sa])(ct_sa)
+    sharded = jit_compile(compiled, [ct_sa], mesh=_mesh_2d())(ct_sa)
+    for cs, cf in zip(single.comps, sharded.comps):
+        assert np.array_equal(np.asarray(cs.data), np.asarray(cf.data))
+    assert compiled.decrypt(sharded).equals(eval_ir(expr, s * a))
