@@ -30,6 +30,7 @@ bit-identical to the jnp 3-factor path (impl="pallas"; tests/test_pallas.py).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 
 import jax
@@ -42,6 +43,7 @@ from alchemy_tpu.backend.ntt_mxu3 import mxu3_tables
 from alchemy_tpu.backend.xla import shoup_const
 from alchemy_tpu.backend.pallas.ntt_pallas import (
     _M16,
+    _matmul_sums,
     _mod_matmul,
     _planes,
     _reduce_u32,
@@ -49,6 +51,10 @@ from alchemy_tpu.backend.pallas.ntt_pallas import (
 )
 
 U32 = jnp.uint32
+
+#: ALCHEMY_KB_OVERLAP=1: issue all stage-3 MXU dot groups before the VPU
+#: recombination/hint phase in kernel B (A/B perf experiment)
+_KB_OVERLAP = os.environ.get("ALCHEMY_KB_OVERLAP", "0") == "1"
 
 
 def _mulmod_gen(a, b, q, r16, r16s, r32, r32s):
@@ -252,10 +258,26 @@ def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref, w1_ref,
                 blocks = [yd]
             for k3 in range(r):
                 scr_refs[k3][di * A:(di + 1) * A, :] = blocks[k3]
+        if _KB_OVERLAP:
+            # experiment (ALCHEMY_KB_OVERLAP=1): queue ALL r stage-3 dot
+            # groups on the MXU before any VPU recombination/hint work, so
+            # the vector units overlap the systolic array instead of
+            # alternating with it
+            all_sums = [
+                _matmul_sums(_planes(scr_refs[k3][...]), w2f[k3], left=False)
+                for k3 in range(r)
+            ]
         for k3 in range(r):
             # stage 3 for the chunk's digits at once: one [dc·A, B] @ [B, B]
-            z = _mod_matmul(_planes(scr_refs[k3][...]), w2f[k3],
-                            q, r16, r16s, r32, r32s, left=False)
+            if _KB_OVERLAP:
+                from alchemy_tpu.backend.pallas.ntt_pallas import (
+                    _recombine_sums,
+                )
+
+                z = _recombine_sums(all_sums[k3], q, r16, r16s, r32, r32s)
+            else:
+                z = _mod_matmul(_planes(scr_refs[k3][...]), w2f[k3],
+                                q, r16, r16s, r32, r32s, left=False)
             o0 = out_ref[0, b_i, 0, :, k3 * B:(k3 + 1) * B]
             o1 = out_ref[1, b_i, 0, :, k3 * B:(k3 + 1) * B]
             for di in range(dc):

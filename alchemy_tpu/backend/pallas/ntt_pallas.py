@@ -61,12 +61,11 @@ def _planes(x):
     return out
 
 
-def _mod_matmul(planes_x, W_planes, q, r16, r16s, r32, r32s, left: bool):
-    """Σ_b W[a,b]·x[b,·] (left=True: W @ x) or Σ_b x[·,b]·Wt[b,a]
-    (left=False: x @ Wt), with digit-plane exact bf16 matmuls over the
-    scaled planes V_{d,f} of 2^(8d)·W mod q (W_planes[d][f]); the four
-    plane sums assemble into an exact (lo, hi) pair reduced mod q once
-    (see backend/ntt_mxu.py)."""
+def _matmul_sums(planes_x, W_planes, left: bool):
+    """The pure-MXU phase of _mod_matmul: the 16 digit-plane bf16 dots,
+    accumulated into the 4 scale-f plane sums (u32, exact). Split out so a
+    caller can queue several matmuls' dots before any VPU recombination
+    (MXU/VPU overlap in kernel B)."""
     sums = [None] * 4
     for d in range(4):
         xd = planes_x[d]
@@ -79,6 +78,12 @@ def _mod_matmul(planes_x, W_planes, q, r16, r16s, r32, r32s, left: bool):
             # f32 → i32 (exact, < 2^24) → bitcast u32
             prod = jax.lax.bitcast_convert_type(prod.astype(jnp.int32), U32)
             sums[f] = prod if sums[f] is None else sums[f] + prod
+    return sums
+
+
+def _recombine_sums(sums, q, r16, r16s, r32, r32s):
+    """The VPU phase of _mod_matmul: assemble the plane sums into an exact
+    (lo, hi) pair and reduce mod q once (see backend/ntt_mxu.py)."""
     lo = sums[0]
     hi = jnp.zeros_like(lo)
     for f in (1, 2, 3):
@@ -90,6 +95,16 @@ def _mod_matmul(planes_x, W_planes, q, r16, r16s, r32, r32s, left: bool):
     hired = _shoup(hi, r32, r32s, q)  # hi < 2^19
     out = hired + lored
     return jnp.where(out >= q, out - q, out)
+
+
+def _mod_matmul(planes_x, W_planes, q, r16, r16s, r32, r32s, left: bool):
+    """Σ_b W[a,b]·x[b,·] (left=True: W @ x) or Σ_b x[·,b]·Wt[b,a]
+    (left=False: x @ Wt), with digit-plane exact bf16 matmuls over the
+    scaled planes V_{d,f} of 2^(8d)·W mod q (W_planes[d][f]); the four
+    plane sums assemble into an exact (lo, hi) pair reduced mod q once
+    (see backend/ntt_mxu.py)."""
+    return _recombine_sums(_matmul_sums(planes_x, W_planes, left),
+                           q, r16, r16s, r32, r32s)
 
 
 def _fwd_kernel(scalars_ref, x_ref, w1_ref, tw_ref, tw_s_ref,
