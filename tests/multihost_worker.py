@@ -101,4 +101,62 @@ for shard in prod.addressable_shards:
     assert np.array_equal(np.asarray(shard.data), want_full[shard.index]), \
         "sharded ring mul mismatch"
 
+# 3. fused mul+relin with the 'limb' axis spanning the PROCESS boundary:
+# the relinearization all_gather of c2 rows crosses DCN-analog transport.
+# Reference computed locally per process with the single-chip fast path.
+from alchemy_tpu.parallel.dist import make_dist_mul_relin  # noqa: E402
+from alchemy_tpu.she import fast  # noqa: E402
+
+mesh_l = make_mesh((1, nproc, 1))  # 'limb' across processes
+fwd_l, inv_l = make_dist_ntt(cfg, mesh_l)
+run_l = make_dist_mul_relin(cfg, mesh_l)
+
+s_key = fast.keygen(p, np.random.default_rng(1))
+hbf, haf = fast.relin_hint(p, s_key, np.random.default_rng(2))
+ct1 = fast.encrypt(p, s_key, rng.integers(0, 2, p.n), np.random.default_rng(3))
+ct2 = fast.encrypt(p, s_key, rng.integers(0, 2, p.n), np.random.default_rng(4))
+want = fast.mul_relin(p, ct1, ct2, hbf, haf)
+want_coeff = np.asarray(intt_negacyclic(want, p.n, p.qs))
+
+
+def global_arr_l(host_np, spec_limb_axis):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = [None] * host_np.ndim
+    axes[spec_limb_axis] = "limb"
+    sh = NamedSharding(mesh_l, P(*axes))
+    return jax.make_array_from_callback(host_np.shape, sh,
+                                        lambda idx: host_np[idx])
+
+
+from jax.experimental import multihost_utils  # noqa: E402
+
+
+def to_host(garr):
+    """Full value of a cross-process global array on every process."""
+    return np.asarray(multihost_utils.process_allgather(garr, tiled=True))
+
+
+def bridge_rows(rows):
+    """[K, L, n] fast-NTT-domain rows → dist NTT domain on mesh_l."""
+    coeff = np.asarray(intt_negacyclic(jnp.asarray(rows), p.n, p.qs))
+    stored = to_dist_layout(coeff)
+    return to_host(fwd_l(global_arr_l(stored, 1)))
+
+
+L = len(p.qs)
+d_cts = bridge_rows(np.concatenate(
+    [np.asarray(ct1), np.asarray(ct2)], axis=0)).reshape(2, 2, L, p.n)
+d_hb = bridge_rows(np.stack([np.asarray(hbf[i]) for i in range(L)]))
+d_ha = bridge_rows(np.stack([np.asarray(haf[i]) for i in range(L)]))
+
+ct_in1 = global_arr_l(np.stack([d_cts[0]] * B), 2)   # [B, 2, L, n]
+ct_in2 = global_arr_l(np.stack([d_cts[1]] * B), 2)
+out = run_l(ct_in1, ct_in2, global_arr_l(d_hb, 1), global_arr_l(d_ha, 1))
+got = to_host(inv_l(global_arr_l(
+    to_host(out).reshape(2 * B, L, p.n), 1)))
+got = from_dist_layout(got).reshape(B, 2, L, p.n)
+for bi in range(B):
+    assert np.array_equal(got[bi], want_coeff), "cross-process mul_relin"
+
 print("WORKER_OK", flush=True)
