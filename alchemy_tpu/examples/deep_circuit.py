@@ -44,6 +44,9 @@ def run(log_n: int = 9, depth: int = 16, seed: int = 0, verbose: bool = True,
     (she/hybrid.py) — the cheaper choice at this workload's deep chains."""
     kwargs = {} if impl is None else {"impl": impl}
     p = FastParams.make(log_n, depth + 2, zp=2, **kwargs)
+    if ks == "auto":
+        # measured crossover (BASELINE.md): hybrid wins from L ≳ 12
+        ks = "hybrid" if len(p.qs) >= 12 else "trivgad"
     rng = np.random.default_rng(seed)
     s_int = None
 
