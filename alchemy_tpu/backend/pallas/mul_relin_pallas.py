@@ -52,9 +52,10 @@ from alchemy_tpu.backend.pallas.ntt_pallas import (
 
 U32 = jnp.uint32
 
-#: ALCHEMY_KB_OVERLAP=1: issue all stage-3 MXU dot groups before the VPU
-#: recombination/hint phase in kernel B (A/B perf experiment)
-_KB_OVERLAP = os.environ.get("ALCHEMY_KB_OVERLAP", "0") == "1"
+#: kernel B issues all stage-3 MXU dot groups before the VPU
+#: recombination/hint phase (measured ≥ the alternating order on device,
+#: bit-identical); ALCHEMY_KB_OVERLAP=0 restores the alternating order
+_KB_OVERLAP = os.environ.get("ALCHEMY_KB_OVERLAP", "1") == "1"
 
 
 def _mulmod_gen(a, b, q, r16, r16s, r32, r32s):

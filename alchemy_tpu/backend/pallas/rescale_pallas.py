@@ -86,6 +86,7 @@ def _intt_grid_kernel(scalars_ref, x_ref, *rest_refs, r: int, B: int, g: int):
             out_ref[gi, 0, :, j3 * B:(j3 + 1) * B] = z
 
 
+@partial(jax.jit, static_argnums=(0, 1))
 def intt3_grid_pallas(n: int, qs: tuple[int, ...], x):
     """[G, T, A·Br] NTT-domain rows → coefficients (3-factor slot order),
     bit-identical to backend/ntt_mxu3.intt_mxu3 on the same rows."""
@@ -109,6 +110,70 @@ def intt3_grid_pallas(n: int, qs: tuple[int, ...], x):
         out_shape=jax.ShapeDtypeStruct((G, T, A, Br), jnp.uint32),
     )(t["scal"], x.reshape(G, T, A, Br), *t["w2if"], t["Ti"], t["Ti_s"],
       t["w1i"])
+    return out.reshape(G, T, n)
+
+
+def _ntt_grid_kernel(scalars_ref, x_ref, w1_ref, t_ref, t_s_ref, *rest_refs,
+                     r: int, B: int, g: int):
+    """Per-limb 3-factor forward NTT of [g, T, A, Br] coefficient rows
+    (the forward-stage structure of _digit_relin_kernel with one digit;
+    bit-identical to ntt_mxu3)."""
+    w2f_refs = rest_refs[:r]
+    out_ref = rest_refs[r]
+    l = pl.program_id(0)
+    q = scalars_ref[l, 0]
+    r16 = scalars_ref[l, 1]
+    r16s = scalars_ref[l, 2]
+    r32 = scalars_ref[l, 3]
+    r32s = scalars_ref[l, 4]
+    w1 = [[w1_ref[0, d, f] for f in range(4)] for d in range(4)]
+    w2f = [
+        [[w2f_refs[k3][0, d, f] for f in range(4)] for d in range(4)]
+        for k3 in range(r)
+    ]
+    for gi in range(g):
+        x = x_ref[gi, 0]
+        y = _mod_matmul(_planes(x), w1, q, r16, r16s, r32, r32s, left=True)
+        yd = _shoup(y, t_ref[0], t_s_ref[0], q)
+        if r == 2:
+            lo, hi = yd[:, :B], yd[:, B:]
+            blocks = [_addmod(lo, hi, q), _submod(lo, hi, q)]
+        elif r == 4:
+            blocks = _dft4(
+                [yd[:, k * B:(k + 1) * B] for k in range(4)],
+                scalars_ref[l, 5], scalars_ref[l, 6], q)
+        else:
+            blocks = [yd]
+        for k3 in range(r):
+            z = _mod_matmul(_planes(blocks[k3]), w2f[k3],
+                            q, r16, r16s, r32, r32s, left=False)
+            out_ref[gi, 0, :, k3 * B:(k3 + 1) * B] = z
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def ntt3_grid_pallas(n: int, qs: tuple[int, ...], x):
+    """[G, T, A·Br] coefficient rows → NTT domain (3-factor slot order),
+    bit-identical to backend/ntt_mxu3.ntt_mxu3 on the same rows."""
+    t = _pallas3_tables(n, qs)
+    A, B, r = t["A"], t["B"], t["r"]
+    Br = B * r
+    T = len(qs)
+    G = x.shape[0]
+    smem = pl.BlockSpec((T, 9), lambda l: (0, 0), memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        partial(_ntt_grid_kernel, r=r, B=B, g=G),
+        grid=(T,),
+        in_specs=[
+            smem,
+            _batch_limb_spec(G, (A, Br)),
+            _limb_spec((4, 4, A, A)),
+            _limb_spec((A, Br)), _limb_spec((A, Br)),
+            *[_limb_spec((4, 4, B, B)) for _ in range(r)],
+        ],
+        out_specs=_batch_limb_spec(G, (A, Br)),
+        out_shape=jax.ShapeDtypeStruct((G, T, A, Br), jnp.uint32),
+    )(t["scal"], x.reshape(G, T, A, Br), t["w1"], t["T"], t["T_s"],
+      *t["w2f"])
     return out.reshape(G, T, n)
 
 

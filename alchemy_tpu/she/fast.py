@@ -64,12 +64,38 @@ class FastParams:
         return FastParams(n=n, qs=tuple(qs), zp=zp, impl=impl)
 
 
+def _pallas_ntt_ok(p) -> bool:
+    """Standalone transforms default to the jnp MXU formulation even at
+    impl='pallas': measured on device (jitted, 2^15×8) the XLA path runs
+    133 µs vs 193 µs for the per-limb grid kernel — XLA batches all limbs
+    into wide dots, while the kernel's one-limb-per-step dots are
+    latency-bound. The grid kernels still carry the fused joint P-rescale
+    (rescale_pallas.py), where staying VMEM-resident beats limb width.
+    ALCHEMY_PALLAS_NTT=1 re-enables the kernel dispatch for experiments."""
+    import os
+
+    if os.environ.get("ALCHEMY_PALLAS_NTT", "0") != "1":
+        return False
+    return p.n % 16384 == 0 and p.n // 16384 in (1, 2, 4)
+
+
 def _ntt_p(p, x):
     if p.impl == "vpu":
         return ntt_negacyclic(x, p.n, p.qs)
     if p.impl == "pallas":
         # the fused Mosaic kernels use the 3-factor slot order; every
-        # transform in this FastParams must agree with it
+        # transform in this FastParams must agree with it. Standalone
+        # transforms run as the fused per-limb kernel when the tiling
+        # holds (bit-identical to the jnp ntt_mxu3 path).
+        if _pallas_ntt_ok(p):
+            from alchemy_tpu.backend.pallas.rescale_pallas import (
+                ntt3_grid_pallas,
+            )
+
+            lead = x.shape[:-2]
+            out = ntt3_grid_pallas(
+                p.n, p.qs, x.reshape(-1, x.shape[-2], p.n))
+            return out.reshape(*lead, x.shape[-2], p.n)
         return ntt_mxu3(x, p.n, p.qs)
     return ntt_mxu(x, p.n, p.qs, p.impl == "mxu8")
 
@@ -78,6 +104,15 @@ def _intt_p(p, x):
     if p.impl == "vpu":
         return intt_negacyclic(x, p.n, p.qs)
     if p.impl == "pallas":
+        if _pallas_ntt_ok(p):
+            from alchemy_tpu.backend.pallas.rescale_pallas import (
+                intt3_grid_pallas,
+            )
+
+            lead = x.shape[:-2]
+            out = intt3_grid_pallas(
+                p.n, p.qs, x.reshape(-1, x.shape[-2], p.n))
+            return out.reshape(*lead, x.shape[-2], p.n)
         return intt_mxu3(x, p.n, p.qs)
     return intt_mxu(x, p.n, p.qs, p.impl == "mxu8")
 

@@ -143,8 +143,11 @@ def rescale_joint(p: FastParams, ct, k_drop: int):
     With impl="pallas" (Mosaic tiling constraints met) the transforms run
     as fused VMEM-resident kernels (backend/pallas/rescale_pallas.py),
     bit-identical to this jnp formulation."""
+    import os
+
     if (p.impl == "pallas" and p.n % 16384 == 0
-            and p.n // 16384 in (1, 2, 4)):
+            and p.n // 16384 in (1, 2, 4)
+            and os.environ.get("ALCHEMY_PALLAS_RESCALE", "1") != "0"):
         from alchemy_tpu.backend.pallas.rescale_pallas import (
             rescale_joint_pallas,
         )

@@ -104,11 +104,12 @@ def bench_ntt(device, p, min_seconds=1.0):
 
     rng = np.random.default_rng(0)
     x = np.stack([rng.integers(0, q, p.n) for q in p.qs]).astype(np.uint32)
+    step = jax.jit(lambda v: _ntt_p(p, v))   # jitted step: honest latency
     with jax.default_device(device):
         xd = jnp.asarray(x)
-        y = _ntt_p(p, xd)
+        y = step(xd)
         _sync(y)
-        ops, lat = _timed_loop(lambda v: _ntt_p(p, v), y, min_seconds)
+        ops, lat = _timed_loop(step, y, min_seconds)
         return lat
 
 

@@ -280,3 +280,28 @@ def test_pallas_hybrid_full_with_kernel_rescale(monkeypatch):
     want = (np.concatenate([conv, [0]])[: p.n]
             + np.concatenate([conv[p.n:], np.zeros(1, np.int64)])) % 2
     assert np.array_equal(fast.decrypt(p, s, out), want)
+
+
+def test_pallas_standalone_ntt3_bit_identical(monkeypatch):
+    """The standalone fused 3-factor NTT kernels (ntt3/intt3_grid_pallas;
+    the _ntt_p/_intt_p dispatch behind ALCHEMY_PALLAS_NTT=1 — default is
+    the jnp path, measured faster on device) match ntt_mxu3/intt_mxu3
+    bit-for-bit and round-trip."""
+    monkeypatch.setenv("ALCHEMY_PALLAS_NTT", "1")
+    _patch_interpret_mr(monkeypatch)
+    from alchemy_tpu.backend.ntt_mxu3 import intt_mxu3, ntt_mxu3
+    from alchemy_tpu.she.fast import FastParams, _intt_p, _ntt_p
+
+    p = FastParams.make(14, 3, impl="pallas")
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(np.stack(
+        [rng.integers(0, q, p.n) for q in p.qs]).astype(np.uint32))
+    y = _ntt_p(p, x)
+    assert np.array_equal(np.asarray(y), np.asarray(ntt_mxu3(x, p.n, p.qs)))
+    assert np.array_equal(np.asarray(_intt_p(p, y)), np.asarray(x))
+    # leading batch dims fold through the kernel path too
+    xb = jnp.asarray(np.stack([np.asarray(x)] * 2))
+    yb = _ntt_p(p, xb)
+    assert np.array_equal(np.asarray(yb[0]), np.asarray(y))
+    assert np.array_equal(np.asarray(intt_mxu3(yb, p.n, p.qs)),
+                          np.asarray(xb))
