@@ -34,9 +34,12 @@ def _sync(x):
     return np.asarray(x[..., :2, :2])
 
 
-def _timed_loop(step, state, min_seconds: float = 1.0):
+def _timed_loop(step, state, min_seconds: float = 1.0, windows: int = 3):
     """Run `state = step(state)` until the measured span exceeds min_seconds
-    (doubling the iteration count), syncing with a device→host readback."""
+    (doubling the iteration count), syncing with a device→host readback.
+    The final count is re-measured over `windows` spans and the BEST taken:
+    the tunneled chip is shared, and a contended window under-reports by
+    2× or more (observed); best-of resists that without inflating."""
     iters = 4
     while True:
         t0 = time.perf_counter()
@@ -46,8 +49,16 @@ def _timed_loop(step, state, min_seconds: float = 1.0):
         _sync(s)
         dt = time.perf_counter() - t0
         if dt >= min_seconds or iters >= 1 << 20:
-            return iters / dt, dt / iters
+            break
         iters *= 2
+    best = dt
+    for _ in range(max(0, windows - 1)):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = step(s)
+        _sync(s)
+        best = min(best, time.perf_counter() - t0)
+    return iters / best, best / iters
 
 
 def bench_on(device, p, rng, min_seconds=1.0, batch: int = 1, chain: int = 1,
