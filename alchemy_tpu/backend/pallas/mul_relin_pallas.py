@@ -133,6 +133,7 @@ def _pallas3_tables(n: int, qs: tuple[int, ...]):
     from alchemy_tpu.backend.ntt_mxu import scaled_planes as _sp
     L = len(qs)
     r = t["r"]
+    B = t["B"]
     w2f, w2if = [], []
     for k3 in range(r):
         fwd, inv = [], []
@@ -143,23 +144,51 @@ def _pallas3_tables(n: int, qs: tuple[int, ...]):
             inv.append(_sp((t["W2i_raw"][li] * tbi[None, :]) % q, q))
         w2f.append(bf16(np.stack(fwd)))
         w2if.append(bf16(np.stack(inv)))
+    # block-diagonal inverse stage-3 matrix (r ≤ 2 only: at r=4 the [Br,Br]
+    # bf16 planes would blow kernel A's VMEM): merges the per-k3 dots into
+    # ONE [·, Br] @ [Br, Br] dot — the kernel is MXU-issue-bound, so fewer,
+    # wider dots win even with the 2× zero-block MACs
+    w2if_bd = None
+    if r <= 2:
+        bd_planes = []
+        for li, q in enumerate(qs):
+            bd = np.zeros((r * B, r * B), dtype=np.int64)
+            for k3 in range(r):
+                tbi = t["tbi_raw"][li, k3].astype(np.int64)
+                bd[k3 * B:(k3 + 1) * B, k3 * B:(k3 + 1) * B] = \
+                    (t["W2i_raw"][li] * tbi[None, :]) % q
+            bd_planes.append(_sp(bd % q, q))
+        w2if_bd = bf16(np.stack(bd_planes))
     return {
         "A": t["A"], "B": t["B"], "r": r,
         "scal": scal,
         "w1": bf16(t["W1"]), "w1i": bf16(t["W1i"]),
         "w2f": w2f, "w2if": w2if,    # lists over k3: [L, 4, 4, B, B]
+        "w2if_bd": w2if_bd,          # [L, 4, 4, Br, Br] or None (r = 4)
         "T": t["T"][0], "T_s": t["T"][1],
         "Ti": t["Ti"][0], "Ti_s": t["Ti"][1],
     }
 
 
 def _tensor_intt_kernel(scalars_ref, a0_ref, a1_ref, b0_ref, b1_ref,
-                        *rest_refs, r: int, B: int, bt: int, nlimb: int):
-    """Per-limb tensor product (c0, c1) and 3-factor iNTT(c2), looped over
-    the static ciphertext batch (tables stream once per limb)."""
-    w2if_refs = rest_refs[:r]
-    ti_ref, ti_s_ref, w1i_ref = rest_refs[r], rest_refs[r + 1], rest_refs[r + 2]
-    c0_ref, c1_ref, c2c_ref = rest_refs[r + 3], rest_refs[r + 4], rest_refs[r + 5]
+                        *rest_refs, r: int, B: int, bt: int, nlimb: int,
+                        use_bd: bool = False):
+    """Per-limb tensor product (c0, c1) and 3-factor iNTT(c2).
+
+    The kernel is MXU-ISSUE-bound, not MAC-bound (measured: it dominated
+    the fused op at 2^15 before this restructure), so the small dots are
+    widened: the stage-3 inverse dots run ONCE per k3 with the whole
+    ciphertext batch concatenated along rows ([Bt·A, B] @ [B, B] — same
+    right matrix for every ct), and the inverse stage-1 left dot runs once
+    per ct over ALL j3 column blocks ([A, A] @ [A, r·B] — same left
+    matrix). Bit-identical: every element sees the same exact arithmetic,
+    batching only widens the dots."""
+    nw2 = 1 if use_bd else r
+    w2_refs = rest_refs[:nw2]
+    ti_ref, ti_s_ref, w1i_ref = (rest_refs[nw2], rest_refs[nw2 + 1],
+                                 rest_refs[nw2 + 2])
+    c0_ref, c1_ref, c2c_ref = (rest_refs[nw2 + 3], rest_refs[nw2 + 4],
+                               rest_refs[nw2 + 5])
     l = pl.program_id(0)
     q = scalars_ref[l, 0]
     r16 = scalars_ref[l, 1]
@@ -167,11 +196,12 @@ def _tensor_intt_kernel(scalars_ref, a0_ref, a1_ref, b0_ref, b1_ref,
     r32 = scalars_ref[l, 3]
     r32s = scalars_ref[l, 4]
     w1i = [[w1i_ref[0, d, f] for f in range(4)] for d in range(4)]
-    w2if = [
-        [[w2if_refs[k3][0, d, f] for f in range(4)] for d in range(4)]
-        for k3 in range(r)
+    w2 = [
+        [[w2_refs[k][0, d, f] for f in range(4)] for d in range(4)]
+        for k in range(nw2)
     ]
     mm = lambda x, y: _mulmod_gen(x, y, q, r16, r16s, r32, r32s)
+    c2_all = []
     for b_i in range(bt):
         a0, a1 = a0_ref[b_i, 0], a1_ref[b_i, 0]
         b0, b1 = b0_ref[b_i, 0], b1_ref[b_i, 0]
@@ -181,25 +211,41 @@ def _tensor_intt_kernel(scalars_ref, a0_ref, a1_ref, b0_ref, b1_ref,
         c1 = _submod(cross, _addmod(c0, c2, q), q)
         c0_ref[b_i, 0] = c0
         c1_ref[b_i, 0] = c1
-        # undo stage 3 per k3 block (tbi folded into the matrices)
+        c2_all.append(c2)
+    if use_bd:
+        # undo stage 3: ONE [Bt·A, Br] @ [Br, Br] block-diagonal dot
+        X = jnp.concatenate(c2_all, axis=0) if bt > 1 else c2_all[0]
+        Z = _mod_matmul(_planes(X), w2[0], q, r16, r16s, r32, r32s,
+                        left=False)
+        blocks = [Z[:, k3 * B:(k3 + 1) * B] for k3 in range(r)]
+    else:
+        # one [Bt·A, B] @ [B, B] dot per k3 (batch along rows)
         blocks = []
         for k3 in range(r):
-            blk = _mod_matmul(_planes(c2[:, k3 * B:(k3 + 1) * B]), w2if[k3],
-                              q, r16, r16s, r32, r32s, left=False)
-            blocks.append(blk)
-        # undo DFT_r (r = 2: plain sum/difference; r = 4: i⁻¹ butterfly)
-        if r == 2:
-            blocks = [_addmod(blocks[0], blocks[1], q),
-                      _submod(blocks[0], blocks[1], q)]
-        elif r == 4:
-            blocks = _dft4(blocks, scalars_ref[l, 7], scalars_ref[l, 8], q)
-        # inverse big twiddle + inverse stage 1, per j3 block (the left dot
-        # distributes over column blocks — no lane concat needed)
-        for j3 in range(r):
-            y = _shoup(blocks[j3], ti_ref[0][:, j3 * B:(j3 + 1) * B],
-                       ti_s_ref[0][:, j3 * B:(j3 + 1) * B], q)
-            z = _mod_matmul(_planes(y), w1i, q, r16, r16s, r32, r32s, left=True)
-            c2c_ref[b_i, :, pl.ds(l * (r * B) + j3 * B, B)] = z
+            X = jnp.concatenate(
+                [c2_all[b][:, k3 * B:(k3 + 1) * B] for b in range(bt)],
+                axis=0) if bt > 1 else c2_all[0][:, k3 * B:(k3 + 1) * B]
+            blocks.append(_mod_matmul(_planes(X), w2[k3],
+                                      q, r16, r16s, r32, r32s, left=False))
+    # undo DFT_r (r = 2: plain sum/difference; r = 4: i⁻¹ butterfly)
+    if r == 2:
+        blocks = [_addmod(blocks[0], blocks[1], q),
+                  _submod(blocks[0], blocks[1], q)]
+    elif r == 4:
+        blocks = _dft4(blocks, scalars_ref[l, 7], scalars_ref[l, 8], q)
+    A = c2_all[0].shape[0]
+    for b_i in range(bt):
+        # inverse big twiddle, then stage 1 over ALL j3 blocks in one dot
+        y_cat = jnp.concatenate([
+            _shoup(blocks[j3][b_i * A:(b_i + 1) * A, :],
+                   ti_ref[0][:, j3 * B:(j3 + 1) * B],
+                   ti_s_ref[0][:, j3 * B:(j3 + 1) * B], q)
+            for j3 in range(r)
+        ], axis=1) if r > 1 else _shoup(
+            blocks[0][b_i * A:(b_i + 1) * A, :], ti_ref[0], ti_s_ref[0], q)
+        z = _mod_matmul(_planes(y_cat), w1i, q, r16, r16s, r32, r32s,
+                        left=True)
+        c2c_ref[b_i, :, pl.ds(l * (r * B), r * B)] = z
 
 
 def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref, w1_ref,
@@ -340,14 +386,22 @@ def _tensor_intt_call(p, ct_a, ct_b):
     b1 = ct_b[:, 1].reshape(g)
     smem = pl.BlockSpec((L, 9), lambda l: (0, 0), memory_space=pltpu.SMEM)
 
+    use_bd = t["w2if_bd"] is not None
+    if use_bd:
+        w2_tabs = (t["w2if_bd"],)
+        w2_specs = [_limb_spec((4, 4, Br, Br))]
+    else:
+        w2_tabs = tuple(t["w2if"])
+        w2_specs = [_limb_spec((4, 4, B, B)) for _ in range(r)]
     return pl.pallas_call(
-        partial(_tensor_intt_kernel, r=r, B=B, bt=Bt, nlimb=L),
+        partial(_tensor_intt_kernel, r=r, B=B, bt=Bt, nlimb=L,
+                use_bd=use_bd),
         grid=(L,),
         in_specs=[
             smem,
             _batch_spec(Bt, (A, Br)), _batch_spec(Bt, (A, Br)),
             _batch_spec(Bt, (A, Br)), _batch_spec(Bt, (A, Br)),
-            *[_limb_spec((4, 4, B, B)) for _ in range(r)],
+            *w2_specs,
             _limb_spec((A, Br)), _limb_spec((A, Br)),
             _limb_spec((4, 4, A, A)),
         ],
@@ -360,7 +414,7 @@ def _tensor_intt_call(p, ct_a, ct_b):
             jax.ShapeDtypeStruct(g, jnp.uint32),
             jax.ShapeDtypeStruct((Bt, A, L * Br), jnp.uint32),
         ],
-    )(t["scal"], a0, a1, b0, b1, *t["w2if"], t["Ti"], t["Ti_s"], t["w1i"])
+    )(t["scal"], a0, a1, b0, b1, *w2_tabs, t["Ti"], t["Ti_s"], t["w1i"])
 
 
 def _limb_spec2(shape):
