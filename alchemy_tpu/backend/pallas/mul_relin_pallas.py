@@ -148,23 +148,29 @@ def _pallas3_tables(n: int, qs: tuple[int, ...]):
     # bf16 planes would blow kernel A's VMEM): merges the per-k3 dots into
     # ONE [·, Br] @ [Br, Br] dot — the kernel is MXU-issue-bound, so fewer,
     # wider dots win even with the 2× zero-block MACs
-    w2if_bd = None
+    w2if_bd = w2f_bd = None
     if r <= 2:
-        bd_planes = []
+        bd_i, bd_f = [], []
         for li, q in enumerate(qs):
-            bd = np.zeros((r * B, r * B), dtype=np.int64)
+            bdi = np.zeros((r * B, r * B), dtype=np.int64)
+            bdf = np.zeros((r * B, r * B), dtype=np.int64)
             for k3 in range(r):
                 tbi = t["tbi_raw"][li, k3].astype(np.int64)
-                bd[k3 * B:(k3 + 1) * B, k3 * B:(k3 + 1) * B] = \
-                    (t["W2i_raw"][li] * tbi[None, :]) % q
-            bd_planes.append(_sp(bd % q, q))
-        w2if_bd = bf16(np.stack(bd_planes))
+                tb = t["tb_raw"][li, k3].astype(np.int64)
+                sl = slice(k3 * B, (k3 + 1) * B)
+                bdi[sl, sl] = (t["W2i_raw"][li] * tbi[None, :]) % q
+                bdf[sl, sl] = (tb[:, None] * t["W2_raw"][li]) % q
+            bd_i.append(_sp(bdi, q))
+            bd_f.append(_sp(bdf, q))
+        w2if_bd = bf16(np.stack(bd_i))
+        w2f_bd = bf16(np.stack(bd_f))
     return {
         "A": t["A"], "B": t["B"], "r": r,
         "scal": scal,
         "w1": bf16(t["W1"]), "w1i": bf16(t["W1i"]),
         "w2f": w2f, "w2if": w2if,    # lists over k3: [L, 4, 4, B, B]
         "w2if_bd": w2if_bd,          # [L, 4, 4, Br, Br] or None (r = 4)
+        "w2f_bd": w2f_bd,
         "T": t["T"][0], "T_s": t["T"][1],
         "Ti": t["Ti"][0], "Ti_s": t["Ti"][1],
     }

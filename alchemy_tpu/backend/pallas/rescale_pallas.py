@@ -49,12 +49,18 @@ def _batch_limb_spec(g, shape):
                         memory_space=pltpu.SMEM if False else pltpu.VMEM)
 
 
-def _intt_grid_kernel(scalars_ref, x_ref, *rest_refs, r: int, B: int, g: int):
+def _intt_grid_kernel(scalars_ref, x_ref, *rest_refs, r: int, B: int, g: int,
+                      use_bd: bool = False):
     """Per-limb 3-factor inverse NTT of [g, T, A, Br] rows (the iNTT section
-    of mul_relin_pallas._tensor_intt_kernel, bit-identical to intt_mxu3)."""
-    w2if_refs = rest_refs[:r]
-    ti_ref, ti_s_ref, w1i_ref = rest_refs[r], rest_refs[r + 1], rest_refs[r + 2]
-    out_ref = rest_refs[r + 3]
+    of mul_relin_pallas._tensor_intt_kernel, bit-identical to intt_mxu3).
+    MXU dots widened like kernel A's: stage 3 batches all g rows (and at
+    r ≤ 2 all k3 blocks via the block-diagonal matrix) into one dot; the
+    stage-1 left dot runs once per row over all j3 blocks."""
+    nw2 = 1 if use_bd else r
+    w2_refs = rest_refs[:nw2]
+    ti_ref, ti_s_ref, w1i_ref = (rest_refs[nw2], rest_refs[nw2 + 1],
+                                 rest_refs[nw2 + 2])
+    out_ref = rest_refs[nw2 + 3]
     l = pl.program_id(0)
     q = scalars_ref[l, 0]
     r16 = scalars_ref[l, 1]
@@ -62,28 +68,41 @@ def _intt_grid_kernel(scalars_ref, x_ref, *rest_refs, r: int, B: int, g: int):
     r32 = scalars_ref[l, 3]
     r32s = scalars_ref[l, 4]
     w1i = [[w1i_ref[0, d, f] for f in range(4)] for d in range(4)]
-    w2if = [
-        [[w2if_refs[k3][0, d, f] for f in range(4)] for d in range(4)]
-        for k3 in range(r)
+    w2 = [
+        [[w2_refs[k][0, d, f] for f in range(4)] for d in range(4)]
+        for k in range(nw2)
     ]
-    for gi in range(g):
-        x = x_ref[gi, 0]
+    xs = [x_ref[gi, 0] for gi in range(g)]
+    A = xs[0].shape[0]
+    if use_bd:
+        X = jnp.concatenate(xs, axis=0) if g > 1 else xs[0]
+        Z = _mod_matmul(_planes(X), w2[0], q, r16, r16s, r32, r32s,
+                        left=False)
+        blocks = [Z[:, k3 * B:(k3 + 1) * B] for k3 in range(r)]
+    else:
         blocks = []
         for k3 in range(r):
-            blk = _mod_matmul(_planes(x[:, k3 * B:(k3 + 1) * B]), w2if[k3],
-                              q, r16, r16s, r32, r32s, left=False)
-            blocks.append(blk)
-        if r == 2:
-            blocks = [_addmod(blocks[0], blocks[1], q),
-                      _submod(blocks[0], blocks[1], q)]
-        elif r == 4:
-            blocks = _dft4(blocks, scalars_ref[l, 7], scalars_ref[l, 8], q)
-        for j3 in range(r):
-            y = _shoup(blocks[j3], ti_ref[0][:, j3 * B:(j3 + 1) * B],
-                       ti_s_ref[0][:, j3 * B:(j3 + 1) * B], q)
-            z = _mod_matmul(_planes(y), w1i, q, r16, r16s, r32, r32s,
-                            left=True)
-            out_ref[gi, 0, :, j3 * B:(j3 + 1) * B] = z
+            X = jnp.concatenate(
+                [x[:, k3 * B:(k3 + 1) * B] for x in xs], axis=0) \
+                if g > 1 else xs[0][:, k3 * B:(k3 + 1) * B]
+            blocks.append(_mod_matmul(_planes(X), w2[k3],
+                                      q, r16, r16s, r32, r32s, left=False))
+    if r == 2:
+        blocks = [_addmod(blocks[0], blocks[1], q),
+                  _submod(blocks[0], blocks[1], q)]
+    elif r == 4:
+        blocks = _dft4(blocks, scalars_ref[l, 7], scalars_ref[l, 8], q)
+    for gi in range(g):
+        y_cat = jnp.concatenate([
+            _shoup(blocks[j3][gi * A:(gi + 1) * A, :],
+                   ti_ref[0][:, j3 * B:(j3 + 1) * B],
+                   ti_s_ref[0][:, j3 * B:(j3 + 1) * B], q)
+            for j3 in range(r)
+        ], axis=1) if r > 1 else _shoup(
+            blocks[0][gi * A:(gi + 1) * A, :], ti_ref[0], ti_s_ref[0], q)
+        z = _mod_matmul(_planes(y_cat), w1i, q, r16, r16s, r32, r32s,
+                        left=True)
+        out_ref[gi, 0] = z
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -96,19 +115,26 @@ def intt3_grid_pallas(n: int, qs: tuple[int, ...], x):
     T = len(qs)
     G = x.shape[0]
     smem = pl.BlockSpec((T, 9), lambda l: (0, 0), memory_space=pltpu.SMEM)
+    use_bd = t["w2if_bd"] is not None
+    if use_bd:
+        w2_tabs = (t["w2if_bd"],)
+        w2_specs = [_limb_spec((4, 4, Br, Br))]
+    else:
+        w2_tabs = tuple(t["w2if"])
+        w2_specs = [_limb_spec((4, 4, B, B)) for _ in range(r)]
     out = pl.pallas_call(
-        partial(_intt_grid_kernel, r=r, B=B, g=G),
+        partial(_intt_grid_kernel, r=r, B=B, g=G, use_bd=use_bd),
         grid=(T,),
         in_specs=[
             smem,
             _batch_limb_spec(G, (A, Br)),
-            *[_limb_spec((4, 4, B, B)) for _ in range(r)],
+            *w2_specs,
             _limb_spec((A, Br)), _limb_spec((A, Br)),
             _limb_spec((4, 4, A, A)),
         ],
         out_specs=_batch_limb_spec(G, (A, Br)),
         out_shape=jax.ShapeDtypeStruct((G, T, A, Br), jnp.uint32),
-    )(t["scal"], x.reshape(G, T, A, Br), *t["w2if"], t["Ti"], t["Ti_s"],
+    )(t["scal"], x.reshape(G, T, A, Br), *w2_tabs, t["Ti"], t["Ti_s"],
       t["w1i"])
     return out.reshape(G, T, n)
 
@@ -180,10 +206,13 @@ def ntt3_grid_pallas(n: int, qs: tuple[int, ...], x):
 def _rescale_fwd_kernel(scalars_ref, rsc_ref, extw_ref, extws_ref, cj_ref,
                         xp_ref, isneg_ref, t_ref2, tneg_ref, w1_ref, t_ref,
                         t_s_ref, *rest_refs, K: int, r: int, B: int, g: int,
-                        zp: int):
-    """Per-keep-limb δ-correction + exact P-division + forward NTT."""
-    w2f_refs = rest_refs[:r]
-    out_ref = rest_refs[r]
+                        zp: int, use_bd: bool = False):
+    """Per-keep-limb δ-correction + exact P-division + forward NTT.
+    Stage-3 dots batch all g rows (and k3 blocks via the block-diagonal
+    matrix at r ≤ 2) — the widening of _tensor_intt_kernel, mirrored."""
+    nw2 = 1 if use_bd else r
+    w2_refs = rest_refs[:nw2]
+    out_ref = rest_refs[nw2]
     l = pl.program_id(0)
     q = scalars_ref[l, 0]
     r16 = scalars_ref[l, 1]
@@ -195,12 +224,13 @@ def _rescale_fwd_kernel(scalars_ref, rsc_ref, extw_ref, extws_ref, cj_ref,
     inv_p = rsc_ref[l, 2]
     inv_p_s = rsc_ref[l, 3]
     w1 = [[w1_ref[0, d, f] for f in range(4)] for d in range(4)]
-    w2f = [
-        [[w2f_refs[k3][0, d, f] for f in range(4)] for d in range(4)]
-        for k3 in range(r)
+    w2 = [
+        [[w2_refs[k][0, d, f] for f in range(4)] for d in range(4)]
+        for k in range(nw2)
     ]
     Br = r * B
     zp32 = np.uint32(zp)
+    blocks_all = []
     for gi in range(g):
         # base extension of V = Σ_k x_k·π_k to this limb (she/hybrid
         # extend_digits order: ascending k)
@@ -216,8 +246,7 @@ def _rescale_fwd_kernel(scalars_ref, rsc_ref, extw_ref, extws_ref, cj_ref,
         delta = _addmod(vq, _shoup(tc, p_mod, p_mod_s, q), q)
         diff = _submod(cj_ref[gi, 0], delta, q)
         x0 = _shoup(diff, inv_p, inv_p_s, q)
-        # forward 3-factor NTT (the stage structure of _digit_relin_kernel
-        # with a single digit)
+        # forward 3-factor NTT stage 1 + twiddle + butterfly
         y = _mod_matmul(_planes(x0), w1, q, r16, r16s, r32, r32s, left=True)
         yd = _shoup(y, t_ref[0], t_s_ref[0], q)
         if r == 2:
@@ -228,10 +257,26 @@ def _rescale_fwd_kernel(scalars_ref, rsc_ref, extw_ref, extws_ref, cj_ref,
                            scalars_ref[l, 5], scalars_ref[l, 6], q)
         else:
             blocks = [yd]
+        blocks_all.append(blocks)
+    A = cj_ref.shape[-2]
+    if use_bd:
+        X = jnp.concatenate(
+            [jnp.concatenate(bl, axis=1) for bl in blocks_all], axis=0) \
+            if g > 1 else jnp.concatenate(blocks_all[0], axis=1)
+        Z = _mod_matmul(_planes(X), w2[0], q, r16, r16s, r32, r32s,
+                        left=False)
+        for gi in range(g):
+            out_ref[gi, 0] = Z[gi * A:(gi + 1) * A, :]
+    else:
         for k3 in range(r):
-            z = _mod_matmul(_planes(blocks[k3]), w2f[k3],
-                            q, r16, r16s, r32, r32s, left=False)
-            out_ref[gi, 0, :, k3 * B:(k3 + 1) * B] = z
+            X = jnp.concatenate(
+                [bl[k3] for bl in blocks_all], axis=0) \
+                if g > 1 else blocks_all[0][k3]
+            z = _mod_matmul(_planes(X), w2[k3], q, r16, r16s, r32, r32s,
+                            left=False)
+            for gi in range(g):
+                out_ref[gi, 0, :, k3 * B:(k3 + 1) * B] = \
+                    z[gi * A:(gi + 1) * A, :]
 
 
 @lru_cache(maxsize=None)
@@ -312,8 +357,16 @@ def rescale_joint_pallas(p, ct, k_drop: int):
     smem = pl.BlockSpec((L, 9), lambda l: (0, 0), memory_space=pltpu.SMEM)
     smem4 = pl.BlockSpec((L, 4), lambda l: (0, 0), memory_space=pltpu.SMEM)
     smemK = pl.BlockSpec((L, K), lambda l: (0, 0), memory_space=pltpu.SMEM)
+    use_bd = tabs["w2f_bd"] is not None
+    if use_bd:
+        w2_tabs = (tabs["w2f_bd"],)
+        w2_specs = [_limb_spec((4, 4, Br, Br))]
+    else:
+        w2_tabs = tuple(tabs["w2f"])
+        w2_specs = [_limb_spec((4, 4, B, B)) for _ in range(r)]
     out = pl.pallas_call(
-        partial(_rescale_fwd_kernel, K=K, r=r, B=B, g=G, zp=pz),
+        partial(_rescale_fwd_kernel, K=K, r=r, B=B, g=G, zp=pz,
+                use_bd=use_bd),
         grid=(L,),
         in_specs=[
             smem, smem4, smemK, smemK,
@@ -323,7 +376,7 @@ def rescale_joint_pallas(p, ct, k_drop: int):
             _full_spec((G, A, Br)),
             _limb_spec((4, 4, A, A)),
             _limb_spec((A, Br)), _limb_spec((A, Br)),
-            *[_limb_spec((4, 4, B, B)) for _ in range(r)],
+            *w2_specs,
         ],
         out_specs=_batch_limb_spec(G, (A, Br)),
         out_shape=jax.ShapeDtypeStruct((G, L, A, Br), jnp.uint32),
@@ -333,5 +386,5 @@ def rescale_joint_pallas(p, ct, k_drop: int):
       is_neg.astype(U32).reshape(G, A, Br),
       t.reshape(G, A, Br),
       t_neg.astype(U32).reshape(G, A, Br),
-      tabs["w1"], tabs["T"], tabs["T_s"], *tabs["w2f"])
+      tabs["w1"], tabs["T"], tabs["T_s"], *w2_tabs)
     return out.reshape(*lead, L, n)
