@@ -46,7 +46,7 @@ U32 = jnp.uint32
 
 def _batch_limb_spec(g, shape):
     return pl.BlockSpec((g, 1, *shape), lambda l: (0, l, *([0] * len(shape))),
-                        memory_space=pltpu.SMEM if False else pltpu.VMEM)
+                        memory_space=pltpu.VMEM)
 
 
 def _intt_grid_kernel(scalars_ref, x_ref, *rest_refs, r: int, B: int, g: int,

@@ -48,8 +48,10 @@ class Accumulator:
 
     def reader(self, f: Callable[[Any], Any]):
         """readerToAccumulator (MonadAccumulator.hs:80-82): run a read-only
-        computation against the accumulated state (appends nothing)."""
-        return self.accumulate(lambda w: (f(w), None))
+        computation against the accumulated state (appends nothing — in
+        particular the user merge is NOT called, so plain monoid merges like
+        `lambda a, b: a + b` need no None special case)."""
+        return f(self._value)
 
 
 def run_accumulator(action: Callable[[Accumulator], Any], empty: Any,

@@ -380,27 +380,48 @@ def _mul_relin_hybrid_pallas(hk: HybridKS, ct_a, ct_b, hint_b, hint_a):
     mul_relin_pallas), jnp Garner digits (cheap elementwise), the fused
     hybrid digit-NTT+hint kernel (backend/pallas/mul_relin_pallas.py —
     base extension in VMEM, D = dnum wide-dot NTT stages), then the joint
-    P-rescale. Bit-identical to the jnp formulation above."""
-    from alchemy_tpu.backend.pallas.mul_relin_pallas import (
-        _tensor_intt_call,
-        hybrid_digit_stage_pallas,
-        max_batch,
-    )
+    P-rescale. Bit-identical to the jnp formulation above.
 
-    p, pe = hk.p, hk.pe
-    L, n = len(p.qs), p.n
+    Batches beyond the VMEM cap chunk through `lax.map`, same as
+    mul_relin_pallas: the while-loop SERIALIZES the fused calls — an
+    unrolled python loop of kernel calls lets XLA overlap neighboring
+    kernels' scoped-VMEM stacks and OOM at large batches."""
+    from alchemy_tpu.backend.pallas.mul_relin_pallas import max_batch
+
     unbatched = ct_a.ndim == 3
     if unbatched:
         ct_a, ct_b = ct_a[None], ct_b[None]
     Bt = ct_a.shape[0]
-    cap = max_batch(p.n, len(pe.qs))
-    if Bt > cap:
-        outs = [
-            _mul_relin_hybrid_pallas(
-                hk, ct_a[s:s + cap], ct_b[s:s + cap], hint_b, hint_a)
-            for s in range(0, Bt, cap)
-        ]
-        return jnp.concatenate(outs, axis=0)
+    cap = max_batch(hk.p.n, len(hk.pe.qs))
+    if Bt <= cap:
+        out = _mul_relin_hybrid_pallas_one(hk, ct_a, ct_b, hint_b, hint_a)
+        return out[0] if unbatched else out
+    main = (Bt // cap) * cap
+
+    def chunk(ab):
+        return _mul_relin_hybrid_pallas_one(hk, ab[0], ab[1], hint_b, hint_a)
+
+    sh = (Bt // cap, cap, *ct_a.shape[1:])
+    out = jax.lax.map(
+        chunk, (ct_a[:main].reshape(sh), ct_b[:main].reshape(sh)))
+    out = out.reshape(main, *ct_a.shape[1:])
+    if main != Bt:
+        rest = _mul_relin_hybrid_pallas_one(
+            hk, ct_a[main:], ct_b[main:], hint_b, hint_a)
+        out = jnp.concatenate([out, rest], axis=0)
+    return out
+
+
+def _mul_relin_hybrid_pallas_one(hk: HybridKS, ct_a, ct_b, hint_b, hint_a):
+    """One fused-call batch (≤ max_batch cts) of the hybrid Pallas path."""
+    from alchemy_tpu.backend.pallas.mul_relin_pallas import (
+        _tensor_intt_call,
+        hybrid_digit_stage_pallas,
+    )
+
+    p, pe = hk.p, hk.pe
+    L, n = len(p.qs), p.n
+    Bt = ct_a.shape[0]
 
     c0g, c1g, c2c = _tensor_intt_call(p, ct_a, ct_b)
     A = c2c.shape[1]
@@ -417,5 +438,4 @@ def _mul_relin_hybrid_pallas(hk: HybridKS, ct_a, ct_b, hint_b, hint_a):
     r01 = rescale_joint(pe, t01, len(hk.ps))        # [2, Bt, L, n]
     out0 = _add(c0g.reshape(Bt, L, n), r01[0], p)
     out1 = _add(c1g.reshape(Bt, L, n), r01[1], p)
-    out = jnp.stack([out0, out1], axis=1)
-    return out[0] if unbatched else out
+    return jnp.stack([out0, out1], axis=1)

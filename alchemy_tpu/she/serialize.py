@@ -36,6 +36,27 @@ from alchemy_tpu.she.keys import SK
 # ---------------------------------------------------------------------------
 
 
+def _rng_state(ctx: KeysHints) -> dict:
+    """JSON-serializable snapshot of the context's RNG stream position.
+
+    A checkpoint's purpose is to re-encrypt in a fresh process; without this,
+    every resumed process would re-derive the identical default_rng(seed)
+    stream and reuse (a, e) encryption randomness under the same secret key
+    (subtracting two such ciphertexts cancels the mask)."""
+    return ctx.rng.bit_generator.state
+
+
+def _restore_rng(ctx: KeysHints, state: dict | None) -> None:
+    if state is not None:
+        ctx.rng.bit_generator.state = state
+    else:
+        # Legacy checkpoint without RNG state: NEVER resume the default
+        # stream — reseed from OS entropy so resumed encryptions are fresh.
+        import secrets
+
+        ctx.rng = np.random.default_rng(secrets.randbits(128))
+
+
 def save_keys(ctx: KeysHints, path: str) -> None:
     """Persist the secret keys only (the root secrets)."""
     arrays = {}
@@ -44,7 +65,8 @@ def save_keys(ctx: KeysHints, path: str) -> None:
         arrays[f"sk_{m_prime}"] = sk.coeffs
         meta.append({"m": m_prime, "variance": sk.variance})
     arrays["__meta__"] = np.frombuffer(
-        json.dumps({"r": ctx.r, "keys": meta}).encode(), dtype=np.uint8
+        json.dumps({"r": ctx.r, "keys": meta, "rng": _rng_state(ctx)}).encode(),
+        dtype=np.uint8,
     )
     np.savez_compressed(path, **arrays)
 
@@ -53,6 +75,7 @@ def load_keys(path: str, bk=None) -> KeysHints:
     data = np.load(path)
     meta = json.loads(bytes(data["__meta__"]).decode())
     ctx = KeysHints(meta["r"], bk=bk)
+    _restore_rng(ctx, meta.get("rng"))
     for entry in meta["keys"]:
         m = entry["m"]
         ctx.keys[m] = SK(m, entry["variance"], data[f"sk_{m}"].astype(np.int64))
@@ -174,6 +197,7 @@ def save_checkpoint(compiled, path: str, cts: dict | None = None) -> None:
     meta = {
         "version": 1,
         "r": ctx.r,
+        "rng": _rng_state(ctx),
         "keys": keys_meta,
         "hints": hints_meta,
         "ir": ir_meta,
@@ -291,6 +315,7 @@ def load_checkpoint(path: str, bk=None):
     ld = _Loader(data, meta, bk)
 
     ctx = KeysHints(meta["r"], bk=bk)
+    _restore_rng(ctx, meta.get("rng"))
     for entry in meta["keys"]:
         ctx.keys[entry["m"]] = SK(entry["m"], entry["variance"],
                                   data[entry["ref"]].astype(np.int64))
