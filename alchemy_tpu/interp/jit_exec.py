@@ -77,26 +77,49 @@ def _rebuild_payload(tmpl, arrays, bk):
 _HOISTED = {"keySwitchQuad_", "tunnel_"}
 
 
-def _auto_sharding(arr, mesh):
+class ShardingFallbackWarning(UserWarning):
+    """An input axis could not be sharded over its mesh axis and was left
+    replicated (the silent-replication failure mode of VERDICT r3 #2 — now
+    loud). jit_compile's limb padding removes the limb-axis case; a coeff
+    axis not divisible by the 'coeff' mesh axis still warns."""
+
+
+def _auto_sharding(arr, mesh, warn: bool = True):
     """Sharding for a [L, n_flat] ciphertext/hint residue array: limb-TP on
     axis 0 when the chain length divides the 'limb' mesh axis, coefficient-SP
     on the flattened coefficient axis when φ(m') divides the 'coeff' axis
-    (every H'-tower ring is divisible by 8); replicated otherwise. GSPMD
-    propagates these through the whole traced program and inserts the
-    collectives (SURVEY.md scaling-book recipe: annotate, let XLA insert)."""
+    (every H'-tower ring is divisible by 8); replicated otherwise — with a
+    ShardingFallbackWarning, never silently. GSPMD propagates these through
+    the whole traced program and inserts the collectives (SURVEY.md
+    scaling-book recipe: annotate, let XLA insert)."""
+    import warnings
+
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     dims = dict(getattr(mesh, "shape", {}))
-    l = "limb" if dims.get("limb", 1) > 1 and arr.shape[0] % dims["limb"] == 0 \
-        else None
-    c = "coeff" if dims.get("coeff", 1) > 1 and arr.shape[-1] % dims["coeff"] == 0 \
-        else None
+    l = c = None
+    if dims.get("limb", 1) > 1:
+        if arr.shape[0] % dims["limb"] == 0:
+            l = "limb"
+        elif warn and arr.shape[0] > 1:
+            warnings.warn(
+                f"limb axis of length {arr.shape[0]} not divisible by mesh "
+                f"'limb'={dims['limb']}; replicating that axis",
+                ShardingFallbackWarning, stacklevel=3)
+    if dims.get("coeff", 1) > 1:
+        if arr.shape[-1] % dims["coeff"] == 0:
+            c = "coeff"
+        elif warn:
+            warnings.warn(
+                f"coefficient axis of length {arr.shape[-1]} not divisible "
+                f"by mesh 'coeff'={dims['coeff']}; replicating that axis",
+                ShardingFallbackWarning, stacklevel=3)
     return NamedSharding(mesh, P(l, c))
 
 
 class JitCompiled:
     def __init__(self, compiled: CompiledExpr, example_cts: list[CT],
-                 mesh=None):
+                 mesh=None, limb_pad: bool = True):
         self.compiled = compiled
         self.mesh = mesh
         self.arg_meta = [
@@ -104,15 +127,29 @@ class JitCompiled:
             for ct in example_cts
         ]
         self.bk = example_cts[0].bk
+        # limb padding: a chain length not divisible by the 'limb' mesh axis
+        # cannot be sharded at the jit boundary (JAX rejects uneven input
+        # shardings). Pad such arrays with zero rows to the next multiple —
+        # sliced back off at trace entry, so semantics are untouched — which
+        # lets limb-TP engage on odd chains (e.g. Tunnel's 5-limb ZQS on a
+        # 2-way limb axis; VERDICT r3 #2/#3).
+        dims = dict(getattr(mesh, "shape", {})) if mesh is not None else {}
+        self._limb_div = dims.get("limb", 1) if limb_pad else 1
 
         # hoist payload arrays out of the IR
         self.const_arrays: list = []
         self._templates: dict[int, tuple] = {}
         self._collect(compiled.ir)
+        self._const_rows = [a.shape[0] for a in self.const_arrays]
+        self.const_arrays = [self._pad_rows(a) for a in self.const_arrays]
+        self._in_rows = [len(qs) for (_, _, _, comps_meta) in self.arg_meta
+                         for (_, qs, _) in comps_meta]
 
         out_box = {}
 
         def raw(flat_inputs, consts):
+            flat_inputs = [a[:r] for a, r in zip(flat_inputs, self._in_rows)]
+            consts = [a[:r] for a, r in zip(consts, self._const_rows)]
             cts = []
             i = 0
             for (m, zp, scale, comps_meta) in self.arg_meta:
@@ -128,19 +165,33 @@ class JitCompiled:
             )
             return tuple(c.data for c in out.comps)
 
+        example_flat = [self._pad_rows(c.data)
+                        for ct in example_cts for c in ct.comps]
         if mesh is None:
             self._jitted = jax.jit(raw)
         else:
             in_sh = (
-                [_auto_sharding(c.data, mesh)
-                 for ct in example_cts for c in ct.comps],
+                [_auto_sharding(a, mesh) for a in example_flat],
                 [_auto_sharding(a, mesh) for a in self.const_arrays],
             )
             self._jitted = jax.jit(raw, in_shardings=in_sh)
-        self._jitted.lower(
-            [c.data for ct in example_cts for c in ct.comps], self.const_arrays
-        )
+        self.lowered = self._jitted.lower(example_flat, self.const_arrays)
+        # compile eagerly and execute through the Compiled object — one
+        # compile total, and `executable.as_text()`/`memory_analysis()` are
+        # available for partition-proof inspection (tests/test_jit_exec.py)
+        self.executable = self.lowered.compile()
         self.out_meta = out_box["meta"]
+
+    def _pad_rows(self, arr):
+        """Zero-pad axis 0 to a multiple of the 'limb' mesh axis (no-op on
+        an unmeshed compile or an already-divisible chain)."""
+        lp = self._limb_div
+        if lp <= 1 or arr.shape[0] % lp == 0:
+            return arr
+        import jax.numpy as jnp
+
+        pad = [(0, lp - arr.shape[0] % lp)] + [(0, 0)] * (arr.ndim - 1)
+        return jnp.pad(arr, pad)
 
     # ------------------------------------------------------------------
 
@@ -166,8 +217,8 @@ class JitCompiled:
         return node
 
     def __call__(self, *cts: CT) -> CT:
-        flat = [c.data for ct in cts for c in ct.comps]
-        arrays = self._jitted(flat, self.const_arrays)
+        flat = [self._pad_rows(c.data) for ct in cts for c in ct.comps]
+        arrays = self.executable(flat, self.const_arrays)
         (m, zp, scale, comps_meta) = self.out_meta
         comps = tuple(
             Cyc(_ring(cm), qs, basis, arr, self.bk)
@@ -177,12 +228,15 @@ class JitCompiled:
 
 
 def jit_compile(compiled: CompiledExpr, example_cts: list[CT],
-                mesh=None) -> JitCompiled:
+                mesh=None, limb_pad: bool = True) -> JitCompiled:
     """Compile the full ciphertext program into one XLA executable.
     `example_cts` fix the (static) argument metadata.
 
     With `mesh` (axes 'limb'/'coeff'), the program compiles SPMD-sharded:
     inputs and hoisted hint arrays are annotated limb-TP/coefficient-SP
-    (_auto_sharding) and GSPMD partitions the whole evaluation — the sharded
-    execution path for the compiled Tunnel/HomomRLWR programs."""
-    return JitCompiled(compiled, example_cts, mesh=mesh)
+    (_auto_sharding; odd chain lengths zero-padded to the limb axis so TP
+    engages — `limb_pad`) and GSPMD partitions the whole evaluation — the
+    sharded execution path for the compiled Tunnel/HomomRLWR programs.
+    The `.lowered` attribute exposes the lowering for partition-proof
+    inspection (compile().as_text() / memory_analysis())."""
+    return JitCompiled(compiled, example_cts, mesh=mesh, limb_pad=limb_pad)
