@@ -456,6 +456,178 @@ def _tab_specs(t):
     }
 
 
+def make_dist_mul_relin_hybrid(hk, cfg: DistConfig, mesh: Mesh,
+                               strategy: str | None = None):
+    """Mesh-sharded fused multiply + HYBRID relinearization (VERDICT r3 #3:
+    the deep configuration — where hybrid wins 1.38× on one chip — now has
+    a multi-chip path instead of falling back to TrivGad).
+
+    cts [B, 2, L, n] (dist storage, base chain) × hints [dnum, T, n]
+    (dist NTT domain, extended chain Q·P) → [B, 2, L, n].
+
+    Sharding (SURVEY.md §2.4 TP/EP rows): Garner digits are elementwise per
+    coefficient, so 'coeff' stays sharded end-to-end; both the base chain
+    (L rows) and the extended chain (T = L+K rows) shard over 'limb'. The
+    cross-chip traffic per op: one all_gather of the c2 coefficient rows
+    over 'limb' (digit inputs), one all_gather of the accumulator
+    coefficients for the joint P-rescale, plus the NTT transposes over
+    'coeff'. Semantics identical to she/hybrid.mul_relin_hybrid (exact
+    integer Garner lifting — bit-identical across layouts); reference
+    semantics keySwitchQuadCirc, Eval.hs:126,133."""
+    from alchemy_tpu.she.hybrid import (
+        _extend_consts,
+        _garner_tables,
+        garner_digits,
+    )
+
+    strategy = strategy or pick_dist_strategy(mesh)
+    C = mesh.shape["coeff"]
+    LS = mesh.shape["limb"]
+    p, pe = hk.p, hk.pe
+    L, T, n = len(p.qs), len(pe.qs), p.n
+    K = len(hk.ps)
+    assert L % LS == 0 and T % LS == 0, (L, T, LS)
+    L_loc = L // LS
+    assert cfg.p.qs == p.qs
+    cfg_e = DistConfig(
+        p=FastParams(n=n, qs=pe.qs, zp=p.zp, impl=p.impl),
+        n1=cfg.n1, n2=cfg.n2)
+    tb = dist_tables(cfg)
+    te = dist_tables(cfg_e)
+
+    drop = hk.ps
+    P_int = 1
+    for g in drop:
+        P_int *= g
+    pz = p.zp
+    assert pz & (pz - 1) == 0 and pz <= (1 << 16)
+    pi_drop, _ = _garner_tables(drop)
+    hd = []
+    h = P_int // 2
+    for g in drop:
+        hd.append(h % g)
+        h //= g
+    inv_P_zp = pow(P_int % pz, -1, pz) if pz > 1 else 0
+
+    # per-group base-extension consts to the extended chain ([α, T, 1])
+    ext_w = [_extend_consts(grp, pe.qs)[:2] for grp in hk.groups]
+    # dropped-chain extension consts + exact-division consts on base targets
+    wd, wds, _ = _extend_consts(drop, p.qs)                      # [K, L, 1]
+    P_mod = np.array([[P_int % q] for q in p.qs], dtype=np.uint32)
+    P_mod_s = np.array([[shoup_const(P_int % q, q)] for q in p.qs],
+                       dtype=np.uint32)
+    invP = np.array([[pow(P_int % q, -1, q)] for q in p.qs], dtype=np.uint32)
+    invP_s = np.array([[shoup_const(pow(P_int % q, -1, q), q)] for q in p.qs],
+                      dtype=np.uint32)
+    consts = {
+        "ext_w": [list(wpair) for wpair in ext_w],
+        "wd": [wd, wds],
+        "P_mod": P_mod, "P_mod_s": P_mod_s,
+        "invP": invP, "invP_s": invP_s,
+    }
+    const_specs = {
+        "ext_w": [[P(None, "limb", None)] * 2 for _ in ext_w],
+        "wd": [P(None, "limb", None)] * 2,
+        "P_mod": P("limb", None), "P_mod_s": P("limb", None),
+        "invP": P("limb", None), "invP_s": P("limb", None),
+    }
+    maskp = np.uint32(pz - 1)
+    pz32 = np.uint32(pz)
+
+    def step(ct_a, ct_b, hb, ha, tabs_b, tabs_e, cs):
+        qb = tabs_b["q"]
+        qe = tabs_e["q"]
+        a0, a1 = ct_a[:, 0], ct_a[:, 1]
+        b0, b1 = ct_b[:, 0], ct_b[:, 1]
+        c0 = _mul(a0, b0, tabs_b)
+        c1 = _add(_mul(a0, b1, tabs_b), _mul(a1, b0, tabs_b), qb)
+        c2 = _mul(a1, b1, tabs_b)
+        c2_coeff = _dist_intt_local(c2, tabs_b, cfg, strategy, C)
+        rows = jax.lax.all_gather(c2_coeff, "limb", axis=1, tiled=True)
+
+        # Garner digits per group (identical on every limb shard — cheap
+        # elementwise over the local coeff slice), extended to OWN ext rows
+        digs = []
+        off = 0
+        for gi, grp in enumerate(hk.groups):
+            xs = garner_digits(rows[:, off:off + len(grp), :], grp)
+            off += len(grp)
+            w, ws = cs["ext_w"][gi]
+            d = None
+            for k, x in enumerate(xs):
+                term = mulmod_shoup(x[:, None, :], w[k], ws[k], qe)
+                d = term if d is None else _cond_sub(d + term, qe)
+            digs.append(d)                       # [B, T_loc, n_loc]
+        dig = jnp.stack(digs, axis=1)            # [B, dnum, T_loc, n_loc]
+        dig_ntt = _dist_ntt_local(dig, tabs_e, cfg_e, strategy, C)
+
+        t0 = t1 = None
+        for j in range(len(hk.groups)):
+            d = dig_ntt[:, j]
+            u0 = _mul(d, hb[j][None], tabs_e)
+            u1 = _mul(d, ha[j][None], tabs_e)
+            t0 = u0 if t0 is None else _add(t0, u0, qe)
+            t1 = u1 if t1 is None else _add(t1, u1, qe)
+
+        # joint P-rescale, distributed (she/hybrid._rescale_joint_jnp math)
+        t01 = jnp.stack([t0, t1], axis=1)        # [B, 2, T_loc, n_loc]
+        coeff = _dist_intt_local(t01, tabs_e, cfg_e, strategy, C)
+        full = jax.lax.all_gather(coeff, "limb", axis=2, tiled=True)
+        r = full[:, :, L:, :]                    # K dropped rows
+        xs = garner_digits(r, drop)
+
+        gt = jnp.zeros(xs[0].shape, dtype=bool)
+        eq = jnp.ones(xs[0].shape, dtype=bool)
+        for k in range(K - 1, -1, -1):
+            gt = gt | (eq & (xs[k] > np.uint32(hd[k])))
+            eq = eq & (xs[k] == np.uint32(hd[k]))
+        is_neg = gt
+
+        vz = jnp.zeros_like(xs[0])
+        for k, x in enumerate(xs):
+            vz = (vz + (x & maskp) * np.uint32(pi_drop[k] % pz)) & maskp
+        vz = jnp.where(
+            is_neg, (vz + pz32 - np.uint32(P_int % pz)) & maskp, vz)
+        tt = (((pz32 - vz) & maskp) * np.uint32(inv_P_zp)) & maskp
+        t_neg = tt > pz // 2
+
+        li = jax.lax.axis_index("limb")
+        cj = jax.lax.dynamic_slice_in_dim(full, li * L_loc, L_loc, axis=2)
+        wdl, wdls = cs["wd"]
+        v = None
+        for k, x in enumerate(xs):
+            term = mulmod_shoup(x[..., None, :], wdl[k], wdls[k], qb)
+            v = term if v is None else _cond_sub(v + term, qb)
+        vq = jnp.where(
+            is_neg[..., None, :],
+            jnp.where(v >= cs["P_mod"], v - cs["P_mod"],
+                      v + qb - cs["P_mod"]), v)
+        ttb = tt[..., None, :]
+        tc = jnp.where(t_neg[..., None, :], qb - (pz32 - ttb), ttb)
+        qkt = mulmod_shoup(tc, cs["P_mod"], cs["P_mod_s"], qb)
+        delta = _cond_sub(vq + qkt, qb)
+        diff = jnp.where(cj >= delta, cj - delta, cj + qb - delta)
+        res = mulmod_shoup(diff, cs["invP"], cs["invP_s"], qb)
+        out01 = _dist_ntt_local(res, tabs_b, cfg, strategy, C)
+        return jnp.stack([_add(c0, out01[:, 0], qb),
+                          _add(c1, out01[:, 1], qb)], axis=1)
+
+    ct_spec = P("batch", None, "limb", "coeff")
+    hint_spec = P(None, "limb", "coeff")
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(ct_spec, ct_spec, hint_spec, hint_spec,
+                  _tab_specs(tb), _tab_specs(te), const_specs),
+        out_specs=ct_spec,
+    )
+
+    @jax.jit
+    def run(ct_a, ct_b, hb, ha):
+        return sharded(ct_a, ct_b, hb, ha, tb, te, consts)
+
+    return run
+
+
 def make_dist_rescale(cfg: DistConfig, mesh: Mesh, active: int,
                       strategy: str | None = None):
     """Mesh-sharded exact BGV rescale dropping limb `active-1` of the PADDED
