@@ -117,13 +117,33 @@ def write_error_rates(expr: Node, ctx: KeysHints, strict: bool = False) -> Node:
     return go(expr)
 
 
+def resolve_log(log, strict: bool = False) -> list:
+    """Resolve any DeferredRate entries (device-probe digit vectors produced
+    under a jit trace, she/noise_probe.py) to floats, applying the strict
+    overflow check that eager probes perform inline."""
+    from alchemy_tpu.she.noise_probe import DeferredRate
+
+    out = []
+    for label, rate in log:
+        if isinstance(rate, DeferredRate):
+            rate = rate.resolve()
+            if strict and rate > NOISE_OVERFLOW_THRESHOLD:
+                raise NoiseOverflowError(
+                    f"{label}: error rate {rate:.3g} exceeds "
+                    f"{NOISE_OVERFLOW_THRESHOLD}")
+        out.append((label, rate))
+    return out
+
+
 def eval_with_error_rates(expr: Node, ctx: KeysHints, *args, strict: bool = False):
     """Evaluate a (compiled) expression under the writer monad, returning
     (result, error_rate_log) with the reference's ErrorRateLog format
     [(op ++ modulus, rate)]. strict=True raises NoiseOverflowError when a
-    rate crosses the decryption-failure threshold."""
+    rate crosses the decryption-failure threshold. On the xla backend the
+    per-op probe runs on device (she/noise_probe.py) with only an [L]
+    digit-vector readback per op."""
     v, log = _eval(write_error_rates(expr, ctx, strict))
     for a in args:
         v, more = v(a)
         log = log + more
-    return v, list(log)
+    return v, resolve_log(list(log), strict)

@@ -76,8 +76,24 @@ def _prim_value(name: str, payload):
             sk = ctx.lookup_key(v.m_prime)
             if sk is None:
                 return []
-            rate = bgv.error_rate(sk, v)
             label = f"{opname}Zq[" + ",".join(str(q) for q in v.qs) + "]"
+            if ctx.bk.name == "xla":
+                # device-resident probe (she/noise_probe.py): the O(n) lift
+                # runs on device; under a jit trace the digit vector stays a
+                # tracer and interp/jit_exec returns it as an aux output
+                import jax
+
+                from alchemy_tpu.she.noise_probe import (
+                    DeferredRate,
+                    error_digits,
+                )
+
+                entry = DeferredRate(error_digits(sk, v), v.qs)
+                if isinstance(entry.digits, jax.core.Tracer):
+                    return [(label, entry)]
+                rate = entry.resolve()
+            else:
+                rate = bgv.error_rate(sk, v)
             if strict:
                 from alchemy_tpu.interp.error_writer import (
                     NOISE_OVERFLOW_THRESHOLD,

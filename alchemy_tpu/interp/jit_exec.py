@@ -12,7 +12,9 @@ resolved at trace time. Key-switch/tunnel hints and public plaintexts are
 megabytes of literal hint rows make XLA constant handling explode).
 
 Requires the XLA backend (golden is numpy). The error-rate-logging mode
-(interp/error_writer.py) stays eager: the probe needs host CRT lifts.
+(interp/error_writer.py) runs under jit too: pass `noise_probe=ctx` and the
+device-resident probe digits (she/noise_probe.py) become auxiliary outputs,
+resolved to the reference's [(op ++ modulus, rate)] log after each call.
 """
 
 from __future__ import annotations
@@ -20,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax
+import numpy as np
 
 from alchemy_tpu.core.cyc import Cyc
 from alchemy_tpu.interp.eval import eval_ir
@@ -119,9 +122,10 @@ def _auto_sharding(arr, mesh, warn: bool = True):
 
 class JitCompiled:
     def __init__(self, compiled: CompiledExpr, example_cts: list[CT],
-                 mesh=None, limb_pad: bool = True):
+                 mesh=None, limb_pad: bool = True, noise_probe=None):
         self.compiled = compiled
         self.mesh = mesh
+        self.probe_ctx = noise_probe
         self.arg_meta = [
             (ct.m, ct.zp, ct.scale, [_cyc_meta(c) for c in ct.comps])
             for ct in example_cts
@@ -159,11 +163,25 @@ class JitCompiled:
                     i += 1
                 cts.append(CT(m=m, zp=zp, scale=scale, comps=tuple(comps)))
             ir = self._substitute(compiled.ir, consts)
-            out = eval_ir(ir, *cts)
+            if self.probe_ctx is not None:
+                # strict ERW under whole-program jit (VERDICT r3 #6): the
+                # kleislified program's per-op probe digits (device-resident,
+                # she/noise_probe.py) become auxiliary jit outputs
+                from alchemy_tpu.interp.error_writer import write_error_rates
+
+                out, log = eval_ir(write_error_rates(ir, self.probe_ctx))
+                for ct in cts:
+                    out, more = out(ct)
+                    log = log + more
+                out_box["log_meta"] = [(lbl, d.qs) for lbl, d in log]
+                probe_outs = tuple(d.digits for _, d in log)
+            else:
+                out = eval_ir(ir, *cts)
+                probe_outs = ()
             out_box["meta"] = (
                 out.m, out.zp, out.scale, [_cyc_meta(c) for c in out.comps]
             )
-            return tuple(c.data for c in out.comps)
+            return tuple(c.data for c in out.comps) + probe_outs
 
         example_flat = [self._pad_rows(c.data)
                         for ct in example_cts for c in ct.comps]
@@ -181,6 +199,7 @@ class JitCompiled:
         # available for partition-proof inspection (tests/test_jit_exec.py)
         self.executable = self.lowered.compile()
         self.out_meta = out_box["meta"]
+        self.log_meta = out_box.get("log_meta", [])
 
     def _pad_rows(self, arr):
         """Zero-pad axis 0 to a multiple of the 'limb' mesh axis (no-op on
@@ -216,19 +235,29 @@ class JitCompiled:
             return Var(node.idx)
         return node
 
-    def __call__(self, *cts: CT) -> CT:
+    def __call__(self, *cts: CT):
         flat = [self._pad_rows(c.data) for ct in cts for c in ct.comps]
         arrays = self.executable(flat, self.const_arrays)
         (m, zp, scale, comps_meta) = self.out_meta
         comps = tuple(
             Cyc(_ring(cm), qs, basis, arr, self.bk)
-            for (cm, qs, basis), arr in zip(comps_meta, arrays)
+            for (cm, qs, basis), arr in zip(comps_meta, arrays[:len(comps_meta)])
         )
-        return CT(m=m, zp=zp, scale=scale, comps=comps)
+        out = CT(m=m, zp=zp, scale=scale, comps=comps)
+        if self.probe_ctx is None:
+            return out
+        from alchemy_tpu.she.noise_probe import rate_from_digits
+
+        rates = [
+            (lbl, rate_from_digits(np.asarray(d), qs))
+            for (lbl, qs), d in zip(self.log_meta, arrays[len(comps_meta):])
+        ]
+        return out, rates
 
 
 def jit_compile(compiled: CompiledExpr, example_cts: list[CT],
-                mesh=None, limb_pad: bool = True) -> JitCompiled:
+                mesh=None, limb_pad: bool = True,
+                noise_probe=None) -> JitCompiled:
     """Compile the full ciphertext program into one XLA executable.
     `example_cts` fix the (static) argument metadata.
 
@@ -238,5 +267,11 @@ def jit_compile(compiled: CompiledExpr, example_cts: list[CT],
     engages — `limb_pad`) and GSPMD partitions the whole evaluation — the
     sharded execution path for the compiled Tunnel/HomomRLWR programs.
     The `.lowered` attribute exposes the lowering for partition-proof
-    inspection (compile().as_text() / memory_analysis())."""
-    return JitCompiled(compiled, example_cts, mesh=mesh, limb_pad=limb_pad)
+    inspection (compile().as_text() / memory_analysis()).
+
+    With `noise_probe` (a KeysHints context holding the secret keys), the
+    whole program is kleislified (interp/error_writer.py) and every probed
+    op's error digits ride along as jit outputs: calls return
+    (ct, [(label, rate)]) — strict ERW with zero host lifts."""
+    return JitCompiled(compiled, example_cts, mesh=mesh, limb_pad=limb_pad,
+                       noise_probe=noise_probe)

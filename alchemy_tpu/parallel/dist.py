@@ -194,8 +194,10 @@ def _a2a_ring(x, axis_split, axis_concat, n_shards):
     distance t: device d ships chunk index (d+t)%C to device (d+t)%C, which
     lands it at source-block position (r-t)%C of the output. Total bytes
     moved equal the all_to_all's (C-1)/C of the block; C-1 neighbor-style
-    rounds instead of one global exchange — the variant that pipelines over
-    DCN-crossing 'coeff' axes (pick_dist_strategy)."""
+    rounds instead of one global exchange. Measured no faster than a2a on
+    any reachable transport (STRATEGY_r04.json) — kept as an explicit
+    opt-in (strategy="ring") for transports where staged neighbor exchange
+    might win."""
     C = n_shards
     d = jax.lax.axis_index("coeff")
     chunk = x.shape[axis_split] // C
@@ -222,17 +224,19 @@ DIST_STRATEGIES = {"a2a": _a2a, "ring": _a2a_ring}
 
 
 def pick_dist_strategy(mesh: Mesh) -> str:
-    """all_to_all rides ICI natively within a slice; when the 'coeff' axis
-    crosses process (host/DCN) boundaries the staged ring pipelines better."""
-    try:
-        coeff_devs = np.asarray(mesh.devices)
-        axis = list(mesh.axis_names).index("coeff")
-        dev_slices = np.moveaxis(coeff_devs, axis, 0)
-        procs = {getattr(dv, "process_index", 0)
-                 for dv in dev_slices.reshape(dev_slices.shape[0], -1)[:, 0]}
-        return "ring" if len(procs) > 1 else "a2a"
-    except Exception:
-        return "a2a"
+    """Default transpose strategy: a2a, everywhere — measured, not assumed.
+
+    The staged ring was hypothesized to pipeline better across process/DCN
+    boundaries; the data says otherwise on every transport this repo can
+    reach: single-process virtual mesh ring is slower at ≥4 coeff shards
+    (SCALING_r03.json: 47.1 ms a2a vs 48.8 ring at 4 shards, 68.4 vs 80.9
+    at 8) and across a REAL 2-process gloo boundary it is a wash-to-slower
+    (STRATEGY_r04.json via scripts/bench_strategy.py: ring/a2a = 0.98 at
+    2^12, 1.07 at 2^14). The ring variant stays available explicitly
+    (strategy="ring", bit-identical) for transports where staged neighbor
+    exchange might win; re-run scripts/bench_strategy.py before preferring
+    it."""
+    return "a2a"
 
 
 def _stages_L(x, stages, q, fn):
