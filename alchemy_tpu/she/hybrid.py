@@ -338,12 +338,21 @@ def mul_relin_hybrid(hk: HybridKS, ct_a, ct_b, hint_b, hint_a):
     impl="pallas" (and the Mosaic tiling constraints met) the tensor
     product and the digit-NTT+hint stage run as fused VMEM-resident
     kernels, bit-identical to the jnp formulation."""
-    p, pe = hk.p, hk.pe
-    qs = p.qs
-    L = len(qs)
+    p = hk.p
     if (p.impl == "pallas" and ct_a.ndim in (3, 4) and p.n % 16384 == 0
             and p.n // 16384 in (1, 2, 4)):
         return _mul_relin_hybrid_pallas(hk, ct_a, ct_b, hint_b, hint_a)
+    return _mul_relin_hybrid_jnp(hk, ct_a, ct_b, hint_b, hint_a)
+
+
+@partial(jax.jit, static_argnums=0)
+def _mul_relin_hybrid_jnp(hk: HybridKS, ct_a, ct_b, hint_b, hint_a):
+    """The jnp/XLA formulation (same NTT slot order as the kernels — the
+    bit-identity reference for the Pallas path on device,
+    scripts/verify_device.py)."""
+    p, pe = hk.p, hk.pe
+    qs = p.qs
+    L = len(qs)
     a0, a1 = ct_a[..., 0, :, :], ct_a[..., 1, :, :]
     b0, b1 = ct_b[..., 0, :, :], ct_b[..., 1, :, :]
     c0 = mulmod(a0, b0, qs)
