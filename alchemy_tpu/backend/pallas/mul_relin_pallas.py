@@ -256,7 +256,7 @@ def _tensor_intt_kernel(scalars_ref, a0_ref, a1_ref, b0_ref, b1_ref,
 
 def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref, w1_ref,
                         t_ref, t_s_ref, *rest_refs, dc: int, r: int, B: int,
-                        bt: int):
+                        bt: int, shoup: bool = False):
     """Forward digit NTTs + hint inner product, grid (output limb l, digit
     chunk c): VMEM per step holds only dc digit columns and dc hint rows —
     independent of the chain length L, so deep chains (L=16) fit the 16 MB
@@ -267,10 +267,23 @@ def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref, w1_ref,
 
     Both MXU stages run as wide dots over the chunk's digits: stage 1
     directly on the chunk's packed coefficient columns; stage 3 on VMEM
-    scratch (one per k3) with the k3 twiddles folded into the matrices."""
+    scratch (one per k3) with the k3 twiddles folded into the matrices.
+
+    shoup=True streams precomputed Shoup companions next to the hint values
+    (hints are long-lived constants — she/fast.shoup_precompute): the hint
+    inner product drops from the ~55-VPU-op general modmul to the
+    ~18-op Shoup multiply. The products dominate the kernel's VPU time
+    (2·D·L·n ≈ 4.2M modmuls per op at 2^15/L=8), so trading 2× hint HBM
+    (~17 MB → ~34 MB, ≈ +20 us at ~0.8 TB/s) for the VPU savings wins.
+    Results stay bit-identical (both compute the exact product mod q)."""
     w2f_refs = rest_refs[:r]
-    hb_ref, ha_ref, out_ref = rest_refs[r], rest_refs[r + 1], rest_refs[r + 2]
-    scr_refs = rest_refs[r + 3:r + 3 + r]
+    if shoup:
+        hb_ref, hbs_ref, ha_ref, has_ref = rest_refs[r:r + 4]
+        out_ref = rest_refs[r + 4]
+        scr_refs = rest_refs[r + 5:r + 5 + r]
+    else:
+        hb_ref, ha_ref, out_ref = rest_refs[r], rest_refs[r + 1], rest_refs[r + 2]
+        scr_refs = rest_refs[r + 3:r + 3 + r]
     l = pl.program_id(0)
     c = pl.program_id(1)
     q = scalars_ref[l, 0]
@@ -337,10 +350,16 @@ def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref, w1_ref,
                 zd = z[di * A:(di + 1) * A, :]
                 hb = hb_ref[di, 0][:, k3 * B:(k3 + 1) * B]
                 ha = ha_ref[di, 0][:, k3 * B:(k3 + 1) * B]
-                o0 = _addmod(
-                    o0, _mulmod_gen(zd, hb, q, r16, r16s, r32, r32s), q)
-                o1 = _addmod(
-                    o1, _mulmod_gen(zd, ha, q, r16, r16s, r32, r32s), q)
+                if shoup:
+                    hbs = hbs_ref[di, 0][:, k3 * B:(k3 + 1) * B]
+                    has = has_ref[di, 0][:, k3 * B:(k3 + 1) * B]
+                    o0 = _addmod(o0, _shoup(zd, hb, hbs, q), q)
+                    o1 = _addmod(o1, _shoup(zd, ha, has, q), q)
+                else:
+                    o0 = _addmod(
+                        o0, _mulmod_gen(zd, hb, q, r16, r16s, r32, r32s), q)
+                    o1 = _addmod(
+                        o1, _mulmod_gen(zd, ha, q, r16, r16s, r32, r32s), q)
             out_ref[0, b_i, 0, :, k3 * B:(k3 + 1) * B] = o0
             out_ref[1, b_i, 0, :, k3 * B:(k3 + 1) * B] = o1
 
@@ -360,10 +379,24 @@ def _full_spec(shape):
 MAX_BATCH = 4
 
 
-def max_batch(n: int, L: int) -> int:
+def max_batch(n: int, L: int, shoup: bool = False) -> int:
     """Per-call ciphertext cap so kernel B's VMEM working set fits: hints +
     digit scratch + tables are batch-independent; c2c/c0/c1/out scale with
-    the batch. 4 cts fit at the 2^15/L=8 config; 2^16/L=8 runs 1 per call."""
+    the batch.
+
+    Raw hints keep the conservative 16 MB scoped budget (4 cts at 2^15/L=8;
+    1 at 2^16/L=8). The shoup path raises vmem_limit_bytes to 100 MB (v5e
+    has the headroom) and batches up to 16 cts per fused call — measured
+    284 us/ct (3522 ops/s) at Bt=16 vs 345 us/ct at the raw path's Bt=4;
+    Bt=32 fails to compile (kernel A's input streams)."""
+    if shoup:
+        fixed = 4 * n * L * 5 + (6 << 20)   # 4 hint slices + scratch + tables
+        per_ct = 4 * n * (L + 4)
+        avail = (90 << 20) - fixed
+        # kernel A's input streams cap the batch-bytes: Bt=16 compiles at
+        # 2^15, Bt=32 does not — scale the cap with the ring size
+        bytes_cap = max(1, (16 * (1 << 15)) // n)
+        return max(1, min(16, bytes_cap, avail // per_ct))
     fixed = 4 * n * L * 3 + (3 << 20)       # 2 hint slices + scratch + tables
     per_ct = 4 * n * (L + 4)                # c2c block + c0/c1 + out
     avail = (14 << 20) - fixed              # headroom under the 16 MB VMEM
@@ -402,6 +435,8 @@ def _tensor_intt_call(p, ct_a, ct_b):
     return pl.pallas_call(
         partial(_tensor_intt_kernel, r=r, B=B, bt=Bt, nlimb=L,
                 use_bd=use_bd),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(100 << 20) if Bt > 4 else None),
         grid=(L,),
         in_specs=[
             smem,
@@ -430,13 +465,16 @@ def _limb_spec2(shape):
 
 @partial(jax.jit, static_argnums=(0,))
 def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
-    """One fused call over a static batch [Bt, 2, L, n] (Bt ≤ MAX_BATCH)."""
+    """One fused call over a static batch [Bt, 2, L, n] (Bt ≤ MAX_BATCH).
+    Hints are raw [L, L, n] values or (values, companions) Shoup pairs
+    (fast.relin_hint(..., shoup=True) — the faster hint-product path)."""
     n, qs = p.n, p.qs
     L = len(qs)
     t = _pallas3_tables(n, qs)
     A, B, r = t["A"], t["B"], t["r"]
     Br = B * r
     Bt = ct_a.shape[0]
+    shoup_hints = isinstance(hint_b, (tuple, list))
     c0, c1, c2c = _tensor_intt_call(p, ct_a, ct_b)
 
     # digit-chunked grid: dc digits per step (≤ 2048 lanes for the stage-1
@@ -453,12 +491,20 @@ def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
         dc = max(1, dc // 2)
     C = -(-L // dc)
     D_pad = C * dc
-    hb = hint_b.reshape(L, L, A, Br)
-    ha = hint_a.reshape(L, L, A, Br)
-    if D_pad != L:
+
+    def _pad_rows(h):
+        h = h.reshape(L, L, A, Br)
+        if D_pad == L:
+            return h
         zrows = jnp.zeros((D_pad - L, L, A, Br), jnp.uint32)
-        hb = jnp.concatenate([hb, zrows], axis=0)
-        ha = jnp.concatenate([ha, zrows], axis=0)
+        return jnp.concatenate([h, zrows], axis=0)
+
+    if shoup_hints:
+        hints = [_pad_rows(hint_b[0]), _pad_rows(hint_b[1]),
+                 _pad_rows(hint_a[0]), _pad_rows(hint_a[1])]
+    else:
+        hints = [_pad_rows(hint_b), _pad_rows(hint_a)]
+    if D_pad != L:
         c2c = jnp.concatenate(
             [c2c, jnp.zeros((Bt, A, (D_pad - L) * Br), jnp.uint32)], axis=-1)
     smem = pl.BlockSpec((L, 9), lambda l, c: (0, 0), memory_space=pltpu.SMEM)
@@ -468,7 +514,13 @@ def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
         (Bt, 1, *shape), lambda l, c: (0, l, *([0] * len(shape))),
         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        partial(_digit_relin_kernel, dc=dc, r=r, B=B, bt=Bt),
+        partial(_digit_relin_kernel, dc=dc, r=r, B=B, bt=Bt,
+                shoup=shoup_hints),
+        # the 16 MB scoped-VMEM default rejects the 4 double-buffered hint
+        # streams of the shoup path at Bt=4 (18.7 MB measured); v5e has
+        # VMEM headroom beyond the default — raise the cap for this kernel
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(100 << 20) if (shoup_hints or Bt > 4) else None),
         grid=(L, C),
         in_specs=[
             smem,
@@ -478,7 +530,7 @@ def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
             _limb_spec2((4, 4, A, A)),
             _limb_spec2((A, Br)), _limb_spec2((A, Br)),
             *[_limb_spec2((4, 4, B, B)) for _ in range(r)],
-            dig_spec, dig_spec,
+            *[dig_spec for _ in hints],
         ],
         out_specs=pl.BlockSpec((2, Bt, 1, A, Br),
                                lambda l, c: (0, 0, l, 0, 0),
@@ -487,7 +539,7 @@ def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
         scratch_shapes=[pltpu.VMEM((dc * A, B), jnp.uint32)
                         for _ in range(r)],
     )(t["scal"], c2c, c0, c1, t["w1"], t["T"], t["T_s"],
-      *t["w2f"], hb, ha)
+      *t["w2f"], *hints)
     return jnp.moveaxis(out.reshape(2, Bt, L, n), 0, 1)
 
 
@@ -653,7 +705,7 @@ def mul_relin_pallas(p, ct_a, ct_b, hint_b, hint_a):
         return _mul_relin_pallas_one(
             p, ct_a[None], ct_b[None], hint_b, hint_a)[0]
     Bt = ct_a.shape[0]
-    cap = max_batch(p.n, len(p.qs))
+    cap = max_batch(p.n, len(p.qs), shoup=isinstance(hint_b, (tuple, list)))
     if Bt <= cap:
         return _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a)
     main = (Bt // cap) * cap

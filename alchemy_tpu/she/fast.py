@@ -265,9 +265,10 @@ def mul_relin(p: FastParams, ct_a, ct_b, hint_b, hint_a):
             and p.n // 16384 in (1, 2, 4):
         from alchemy_tpu.backend.pallas.mul_relin_pallas import mul_relin_pallas
 
-        hb = hint_b[0] if isinstance(hint_b, (tuple, list)) else hint_b
-        ha = hint_a[0] if isinstance(hint_a, (tuple, list)) else hint_a
-        return mul_relin_pallas(p, ct_a, ct_b, hb, ha)
+        # Shoup pairs stream 2x hint HBM but drop the hint products from
+        # the general modmul to the Shoup multiply — the kernel's dominant
+        # VPU cost (see _digit_relin_kernel); raw hints remain supported
+        return mul_relin_pallas(p, ct_a, ct_b, hint_b, hint_a)
     return _mul_relin_jnp(p, ct_a, ct_b, hint_b, hint_a)
 
 

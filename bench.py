@@ -95,9 +95,11 @@ def bench_on(device, p, rng, min_seconds=1.0, batch: int = 1, chain: int = 1,
             mul_fn = lambda pp, a, b, h0, h1: mul_relin_hybrid(hk, a, b, h0, h1)
         else:
             s = fast.keygen(p, rng)
-            # the Mosaic kernel streams raw hints (no Shoup companion
-            # doubling of the HBM hint read); jnp prefers Shoup pairs
-            hb, ha = fast.relin_hint(p, s, rng, shoup=p.impl != "pallas")
+            # Shoup hint pairs everywhere: the Mosaic kernel's hint products
+            # drop from general modmuls to Shoup multiplies (kernel B device
+            # time 245 -> 205 us at 2^15/L=8) and the raised-VMEM batched
+            # call amortizes kernel A (BASELINE.md round-4 ledger)
+            hb, ha = fast.relin_hint(p, s, rng, shoup=True)
             mul_fn = fast.mul_relin
         ct1 = fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
         ct2 = fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
@@ -155,7 +157,11 @@ def main():
     log_n = int(os.environ.get("BENCH_LOG_N", "15"))
     nlimb = int(os.environ.get("BENCH_NLIMB", "8"))
     secs = float(os.environ.get("BENCH_SECONDS", "2.0"))
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    # default batch 16: per-chip THROUGHPUT at the fused call's VMEM sweet
+    # spot (BASELINE.json configs[4] is a batched SIMD workload; kernel A
+    # and dispatch amortize across the batch). The single-ct latency is
+    # measured separately and recorded as latency_1ct in the JSON.
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     # chain>1 fuses dependent ops into one XLA program; measured SLOWER on
     # the tunneled v5e (buffer pressure beats dispatch savings) — default 1
     chain = int(os.environ.get("BENCH_CHAIN", "1"))
@@ -181,6 +187,12 @@ def main():
         f"{ops_accel:.2f} ops/s ({per_op*1e3:.3f} ms/op; median "
         f"{stats['median']*1e3:.3f} ms, IQR {stats['iqr']*1e3:.3f} ms over "
         f"{stats['windows']} windows)")
+
+    lat_1ct = None
+    if batch > 1:
+        _, lat_1ct, _ = bench_on(accel, p, np.random.default_rng(0),
+                                 min(secs, 1.5), batch=1, chain=chain, ks=ks)
+        log(f"single-ct latency: {lat_1ct*1e3:.3f} ms")
 
     ntt_lat = bench_ntt(accel, p, secs)
     ntt_lat_b8 = bench_ntt(accel, p, min(secs, 2.0), batch=8)
@@ -240,6 +252,8 @@ def main():
         "value": round(ops_accel, 3),
         "unit": "ops/s",
         "vs_baseline": round(vs, 3),
+        "batch": batch,
+        "latency_1ct_ms": round(lat_1ct * 1e3, 4) if lat_1ct else None,
         "dispersion": {
             "ms_best": round(stats["best"] * 1e3, 4),
             "ms_median": round(stats["median"] * 1e3, 4),

@@ -44,6 +44,11 @@ def run_checks() -> dict:
     want = _mul_relin_jnp(p, ct1, ct2, hb, ha)         # jnp, same domain
     results["mul_relin_bitident"] = bool(
         np.array_equal(np.asarray(got), np.asarray(want)))
+    hsb = fast.shoup_precompute(hb, p.qs)
+    hsa = fast.shoup_precompute(ha, p.qs)
+    got_s = fast.mul_relin(p, ct1, ct2, hsb, hsa)      # shoup hint-pair path
+    results["mul_relin_shoup_bitident"] = bool(
+        np.array_equal(np.asarray(got_s), np.asarray(want)))
     dec = np.asarray(fast.decrypt(p, s, got))
     conv = np.convolve(m1, m2)                      # negacyclic ring product
     ring_prod = conv[:p.n].copy()

@@ -98,6 +98,11 @@ def test_pallas_mul_relin_interpret_bit_identical(monkeypatch):
     ref = fast._mul_relin_jnp(p, ct1, ct2, hb, ha)
     out = mrk.mul_relin_pallas(p, ct1, ct2, hb, ha)
     assert np.array_equal(np.asarray(ref), np.asarray(out))
+    # Shoup hint pairs (the fast hint-product path): still bit-identical
+    hsb = fast.shoup_precompute(hb, p.qs)
+    hsa = fast.shoup_precompute(ha, p.qs)
+    out_s = mrk.mul_relin_pallas(p, ct1, ct2, hsb, hsa)
+    assert np.array_equal(np.asarray(ref), np.asarray(out_s))
 
 
 def test_fast_impl_pallas_dispatch_and_decrypt(monkeypatch):
