@@ -194,12 +194,21 @@ class JitCompiled:
             )
             self._jitted = jax.jit(raw, in_shardings=in_sh)
         self.lowered = self._jitted.lower(example_flat, self.const_arrays)
-        # compile eagerly and execute through the Compiled object — one
-        # compile total, and `executable.as_text()`/`memory_analysis()` are
-        # available for partition-proof inspection (tests/test_jit_exec.py)
-        self.executable = self.lowered.compile()
+        self._executable = None
         self.out_meta = out_box["meta"]
         self.log_meta = out_box.get("log_meta", [])
+
+    @property
+    def executable(self):
+        """Compiled object for partition-proof inspection (as_text() /
+        memory_analysis(); tests/test_jit_exec.py). Built lazily: calls go
+        through the jax.jit C++ fastpath instead — Compiled.__call__ pays
+        ~2.4 ms of python arg processing PER ARGUMENT, which at the
+        examples' hundreds of hoisted hint arrays is ~1000× the actual
+        device time (measured 1.18 s vs 15 ms per Tunnel run)."""
+        if self._executable is None:
+            self._executable = self.lowered.compile()
+        return self._executable
 
     def _pad_rows(self, arr):
         """Zero-pad axis 0 to a multiple of the 'limb' mesh axis (no-op on
@@ -237,7 +246,7 @@ class JitCompiled:
 
     def __call__(self, *cts: CT):
         flat = [self._pad_rows(c.data) for ct in cts for c in ct.comps]
-        arrays = self.executable(flat, self.const_arrays)
+        arrays = self._jitted(flat, self.const_arrays)
         (m, zp, scale, comps_meta) = self.out_meta
         comps = tuple(
             Cyc(_ring(cm), qs, basis, arr, self.bk)

@@ -49,6 +49,93 @@ def measure_dist_ntt(log_n: int = 12, nlimb: int = 4, coeff_shards: int = 2,
     return (time.perf_counter() - t0) / iters, shape
 
 
+def measure_comm_split(log_n: int, nlimb: int, coeff_shards: int,
+                       batch: int = 2, iters: int = 20):
+    """Isolate the transpose's cost on THIS transport: time the full dist
+    NTT and a variant whose all_to_all is replaced by the shape-identical
+    LOCAL chunk permutation (wrong values, zero communication — measurement
+    only). The difference is the collective's cost; the local time is the
+    per-shard compute the analytic ICI model scales."""
+    from alchemy_tpu.parallel import dist as D
+
+    def _a2a_local(x, axis_split, axis_concat, n_shards):
+        C = n_shards
+        chunks = jnp.split(x, C, axis=axis_split)
+        return jnp.concatenate(chunks, axis=axis_concat)
+
+    full, _ = measure_dist_ntt(log_n, nlimb, coeff_shards, batch, iters,
+                               "a2a")
+    D.DIST_STRATEGIES["__local__"] = _a2a_local
+    try:
+        local, _ = measure_dist_ntt(log_n, nlimb, coeff_shards, batch, iters,
+                                    "__local__")
+    finally:
+        del D.DIST_STRATEGIES["__local__"]
+    return full, local
+
+
+def predict_ici_efficiency(log_n: int, nlimb: int, coeff_shards: int,
+                           batch: int, t1_us: float, bw_GBps: float,
+                           lat_us: float = 1.0) -> dict:
+    """Analytic strong-scaling model for the a2a distributed NTT on real
+    ICI silicon (VERDICT r3 #2b): per device and call,
+
+      bytes_ici = batch · L_loc · (n/C) · 4 B · (C−1)/C   (the ONE tiled
+                  all_to_all; every other stage is local — asserted on the
+                  lowered HLO by test_dist_ntt_communication_pattern)
+      T_comm    = bytes_ici / BW + lat
+      T_comp    = t1_us / C     (t1_us: measured single-chip device time
+                  for the same batch·L·n transform, BASELINE.md)
+      efficiency = T_comp / (T_comp + T_comm)
+
+    BW is the per-chip ICI bandwidth actually usable by the all_to_all in
+    one direction; lat the dispatch/barrier cost."""
+    n = 1 << log_n
+    C = coeff_shards
+    bytes_ici = batch * nlimb * (n // C) * 4 * (C - 1) / C
+    t_comm = bytes_ici / (bw_GBps * 1e3) + lat_us   # GB/s = 1e3 B/us
+    t_comp = t1_us / C
+    return {
+        "coeff_shards": C,
+        "bytes_ici_per_device": int(bytes_ici),
+        "t_comp_us": round(t_comp, 2),
+        "t_comm_us": round(t_comm, 2),
+        "efficiency": round(t_comp / (t_comp + t_comm), 3),
+    }
+
+
+def weak_sweep(log_n_per_shard: int = 12, nlimb: int = 4, batch: int = 2,
+               iters: int = 10):
+    """Weak scaling: per-device coefficient count fixed at 2^log_n_per_shard
+    — ring size grows with the shard count, so per-shard compute is constant
+    and ideal time is flat. On the virtual mesh the host's physical cores
+    cap the concurrency (points record the expected oversubscription)."""
+    import multiprocessing
+
+    n_dev = len(jax.devices())
+    cores = multiprocessing.cpu_count()
+    pts = []
+    for c in (1, 2, 4, 8):
+        if c > n_dev:
+            continue
+        dt, shape = measure_dist_ntt(log_n_per_shard + c.bit_length() - 1,
+                                     nlimb, c, batch, iters, "a2a")
+        pts.append({
+            "coeff_shards": c, "log_n": log_n_per_shard + c.bit_length() - 1,
+            "mesh": list(shape), "us_per_call": round(dt * 1e6, 1),
+            "host_core_oversubscription": round(max(1.0, c / cores), 2),
+        })
+    base = pts[0]["us_per_call"]
+    for pt in pts:
+        # weak-scaling efficiency vs the 1-shard point, and the same after
+        # normalizing away host-core oversubscription (the virtual-mesh
+        # serialization artifact — VERDICT r3 #1a)
+        pt["weak_efficiency"] = round(base / pt["us_per_call"], 3)
+        pt["weak_efficiency_core_normalized"] = round(
+            base * pt["host_core_oversubscription"] / pt["us_per_call"], 3)
+    return pts
+
+
 def sweep(log_n: int = 12, nlimb: int = 4, batch: int = 2, iters: int = 20):
     """Fixed-problem-size sweep over coeff shard counts and strategies."""
     n_dev = len(jax.devices())
@@ -76,6 +163,45 @@ def sweep(log_n: int = 12, nlimb: int = 4, batch: int = 2, iters: int = 20):
         pt["speedup_vs_1shard"] = round(base / pt["us_per_call"], 3)
         pt["parallel_efficiency"] = round(
             base / (pt["us_per_call"] * pt["coeff_shards"]), 3)
+
+    # (a) weak scaling — fixed per-device work (VERDICT r3 #2a)
+    out["weak_scaling"] = weak_sweep(log_n, nlimb, batch, iters=max(5, iters // 2))
+
+    # (b) communication-cost isolation on this transport: full vs
+    # local-permutation (no collective) variant
+    comm = []
+    for c in (2, 4, 8):
+        if c > n_dev:
+            continue
+        full, local = measure_comm_split(log_n, nlimb, c, batch,
+                                         max(5, iters // 2))
+        comm.append({
+            "coeff_shards": c,
+            "full_us": round(full * 1e6, 1),
+            "local_only_us": round(local * 1e6, 1),
+            "collective_us": round((full - local) * 1e6, 1),
+        })
+    out["comm_split"] = comm
+
+    # (c) analytic ICI prediction at the north-star rings, anchored on the
+    # MEASURED single-chip device time (BASELINE.md round 4: the 2^15×8
+    # transform runs 46 us amortized at queue depth 8) and a v5e ICI
+    # bandwidth sweep; the collective pattern (ONE tiled all_to_all) is
+    # pinned by test_dist_ntt_communication_pattern
+    preds = []
+    for ln, t1 in ((15, 46.0), (16, 92.0)):
+        for bw in (50.0, 100.0, 200.0):
+            for c in (2, 4, 8):
+                for b in (1, 4):
+                    e = predict_ici_efficiency(ln, 8, c, b, t1 * b, bw)
+                    e.update({"log_n": ln, "batch": b, "ici_GBps": bw})
+                    preds.append(e)
+    out["ici_prediction"] = {
+        "model": "T_comp = t1/C; T_comm = batch*L*(n/C)*4*(C-1)/C / BW + 1us; "
+                 "eff = T_comp/(T_comp+T_comm); t1 measured on-chip "
+                 "(46 us, 2^15 x 8 limbs, queue depth 8)",
+        "points": preds,
+    }
     return out
 
 
