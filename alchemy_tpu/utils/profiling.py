@@ -5,8 +5,10 @@ introspection interpreters (S/P/Params). Here:
 - `phase`: the wall-clock harness (examples/common.py `timed` re-export);
 - `trace`: a jax.profiler wrapper producing TensorBoard-readable traces;
 - `cost_table`: the per-op static cost table of a (compiled) expression —
-  op counts with their moduli annotations and estimated data volumes,
-  derived from the IR (the "per-op cost table from the IR" of SURVEY §5).
+  op COUNTS keyed by (op, modulus-chain annotation), derived from the IR
+  (the "per-op cost table from the IR" of SURVEY §5). Data volumes are not
+  estimated here; use jax's compiled-cost analysis or the BASELINE.md
+  ledger for byte accounting.
 """
 
 from __future__ import annotations

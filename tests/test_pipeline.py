@@ -62,3 +62,52 @@ def test_pipeline_chain_matches_sequential():
         want = np.asarray(cur)                     # [2, act_final, n]
         assert np.array_equal(out[i][:, :act_final], want), f"ct {i}"
         assert not out[i][:, act_final:].any()
+
+
+def test_pipeline_depth_not_divisible_by_stages():
+    """Depth 3 on 2 stages: the pad slot is disabled via the stage-sharded
+    enable flag and the result still matches the sequential chain."""
+    depth, S, mb, M = 3, 2, 1, 4
+    L0 = 5
+    p = FastParams.make(7, L0, zp=2)
+    rng = np.random.default_rng(6)
+    s_int = gaussian_coeffs(rng, 1.0, p.n)
+
+    def key_at(pp):
+        res = np.stack([s_int % q for q in pp.qs]).astype(np.uint32)
+        return fast._ntt_p(pp, jnp.asarray(res))
+
+    hints, ref_hints = [], []
+    cur_p = p
+    for lvl in range(depth):
+        act = L0 - lvl
+        hb, ha = fast.relin_hint(cur_p, key_at(cur_p), rng)
+        pb = np.zeros((L0, L0, p.n), dtype=np.uint32)
+        pa = np.zeros((L0, L0, p.n), dtype=np.uint32)
+        pb[:act, :act] = np.asarray(hb)
+        pa[:act, :act] = np.asarray(ha)
+        hints.append((pb, pa))
+        ref_hints.append((cur_p, hb, ha))
+        cur_p = FastParams(n=p.n, qs=cur_p.qs[:-1], zp=p.zp, impl=p.impl)
+
+    msgs = [rng.integers(0, 2, p.n) for _ in range(M * mb)]
+    cts = [fast.encrypt(p, key_at(p), m, rng) for m in msgs]
+    batch = jnp.asarray(np.stack([np.asarray(c) for c in cts]))
+
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("stage",))
+    run = make_pipeline_chain(p, mesh, hints, mb=mb, n_micro=M)
+    out = np.asarray(run(batch))
+    from alchemy_tpu.parallel.pipeline import _level_consts, rescale_padded
+
+    for i, ct in enumerate(cts):
+        cur = jnp.asarray(np.asarray(ct))
+        for lvl, (pp, hb, ha) in enumerate(ref_hints):
+            pb, pa = hints[lvl]
+            full = fast._mul_relin_jnp(p, cur, cur, jnp.asarray(pb),
+                                       jnp.asarray(pa))
+            cur = rescale_padded(p, full, {
+                k2: jnp.asarray(v)
+                for k2, v in _level_consts(p, lvl).items()})
+        assert np.array_equal(out[i], np.asarray(cur)), f"ct {i}"
