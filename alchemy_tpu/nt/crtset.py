@@ -183,20 +183,22 @@ def slot_cosets(w: int, p: int) -> tuple[tuple[int, ...], ...]:
 
 def _idempotents_mod2(w: int) -> list[np.ndarray]:
     """Primitive idempotents of F2[x]/(x^w−1) for the *unit* cosets, as
-    0/1 coefficient arrays of length w: ε_C[j] = Σ_{i∈C} β^{−ij} in F2."""
+    0/1 coefficient arrays of length w: ε_C[j] = Σ_{i∈C} β^{−ij} in F2.
+    Vectorized over (i, j) via the GF(2^D) log/exp tables (the python
+    triple loop was ~|units|·w field ops — seconds at w = 4095)."""
     D = multiplicative_order(2, w)
     gf = _GF2k(D)
     beta = gf.element_of_order(w)
+    logb = gf.log[beta]
+    exp_arr = np.asarray(gf.exp[:gf.order], dtype=np.int64)
+    js = np.arange(w, dtype=np.int64)
     out = []
     for C in slot_cosets(w, 2):
-        coeffs = np.zeros(w, dtype=np.int64)
-        for j in range(w):
-            acc = 0
-            for i in C:
-                acc ^= gf.pow(beta, (-i * j) % w)
-            assert acc in (0, 1), "idempotent coefficient not in F2"
-            coeffs[j] = acc
-        out.append(coeffs)
+        idx = (-np.asarray(C, dtype=np.int64)[:, None] * js) % w
+        vals = exp_arr[(logb * idx) % gf.order]        # [|C|, w]
+        acc = np.bitwise_xor.reduce(vals, axis=0)
+        assert acc.max() <= 1, "idempotent coefficient not in F2"
+        out.append(acc.astype(np.int64))
     return out
 
 
@@ -399,12 +401,11 @@ def crt_set_relative(e: int, s: int, pk: int) -> list[np.ndarray]:
     cosets_s = slot_cosets(w_s, p)
     cosets_e = slot_cosets(w_e, p)
     if w_s == 1:
-        eps_p = [np.ones(1, dtype=np.int64)]
+        eps = [np.ones(1, dtype=np.int64)]
     elif p == 2:
-        eps_p = _idempotents_mod2(w_s)          # GF(2^D) bitmask fast path
+        eps = _idempotents_mod2(w_s)            # GF(2^D) bitmask fast path
     else:
-        eps_p = _idempotents_modp(w_s, p)       # general odd p
-    eps = [_hensel_lift_idempotent(x, pk) for x in eps_p]
+        eps = _idempotents_modp(w_s, p)         # general odd p
     class_of = {}
     for ci, C in enumerate(cosets_s):
         for u in C:
@@ -435,7 +436,12 @@ def crt_set_relative(e: int, s: int, pk: int) -> list[np.ndarray]:
         total = np.zeros(w_s, dtype=np.int64)
         for cj in range(len(cosets_e)):
             u = lam_rep * e_reps[cj] % w_s if w_e > 1 else lam_rep
-            total = (total + eps[class_of[u]]) % pk
+            total = (total + eps[class_of[u]]) % p
+        # Hensel-lift the fiber SUM: orthogonal idempotents lift uniquely,
+        # so lift(Σ ε) = Σ lift(ε) — one lift per kernel class instead of
+        # one per coset (the per-ε lifting was the keygen phase's dominant
+        # cost: |cosets| w²-element convolutions at w = 4095)
+        total = _hensel_lift_idempotent(total, pk)
         # convert to tensor coords of R_{w_s}, then embed into R_s
         conv = power_to_tensor_matrix(w_s)
         coeffs_ws = (total[None, :] @ conv)[0] % pk

@@ -182,8 +182,8 @@ def make_pipeline_chain(p: FastParams, mesh: Mesh, hints, mb: int,
 
         _, out_buf = jax.lax.fori_loop(
             0, S + M - 1, tick_body,
-            (jax.lax.pvary(zeros, ("stage",)),
-             jax.lax.pvary(out0, ("stage",))))
+            (jax.lax.pcast(zeros, ("stage",), to="varying"),
+             jax.lax.pcast(out0, ("stage",), to="varying")))
         # only the last stage holds results; replicate via masked psum
         mask = (s == S - 1).astype(jnp.uint32)
         return jax.lax.psum(out_buf * mask, "stage")
