@@ -545,7 +545,8 @@ def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
 
 def _hybrid_digit_relin_kernel(scalars_ref, extw_ref, extws_ref, x_ref,
                                w1_ref, t_ref, t_s_ref, *rest_refs,
-                               gidx: tuple, r: int, B: int, bt: int):
+                               gidx: tuple, r: int, B: int, bt: int,
+                               shoup: bool = False):
     """Per-extended-limb forward NTTs of the dnum hybrid digits + hint inner
     product (she/hybrid.py dataflow). Hybrid digits are limb-DEPENDENT
     (D_j < Q_j overflows u32), so the unreduced-digit trick of
@@ -557,9 +558,15 @@ def _hybrid_digit_relin_kernel(scalars_ref, extw_ref, extws_ref, x_ref,
     P-rescale)."""
     ndig = len(gidx)
     w2f_refs = rest_refs[:r]
-    hb_ref, ha_ref, out_ref = rest_refs[r], rest_refs[r + 1], rest_refs[r + 2]
-    ext_scr = rest_refs[r + 3]
-    scr_refs = rest_refs[r + 4:r + 4 + r]
+    if shoup:
+        hb_ref, hbs_ref, ha_ref, has_ref = rest_refs[r:r + 4]
+        out_ref = rest_refs[r + 4]
+        ext_scr = rest_refs[r + 5]
+        scr_refs = rest_refs[r + 6:r + 6 + r]
+    else:
+        hb_ref, ha_ref, out_ref = rest_refs[r], rest_refs[r + 1], rest_refs[r + 2]
+        ext_scr = rest_refs[r + 3]
+        scr_refs = rest_refs[r + 4:r + 4 + r]
     l = pl.program_id(0)
     q = scalars_ref[l, 0]
     r16 = scalars_ref[l, 1]
@@ -614,10 +621,18 @@ def _hybrid_digit_relin_kernel(scalars_ref, extw_ref, extws_ref, x_ref,
                 zd = z[d * A:(d + 1) * A, :]
                 hb = hb_ref[d, 0][:, k3 * B:(k3 + 1) * B]
                 ha = ha_ref[d, 0][:, k3 * B:(k3 + 1) * B]
-                out0[k3] = _addmod(
-                    out0[k3], _mulmod_gen(zd, hb, q, r16, r16s, r32, r32s), q)
-                out1[k3] = _addmod(
-                    out1[k3], _mulmod_gen(zd, ha, q, r16, r16s, r32, r32s), q)
+                if shoup:
+                    hbs = hbs_ref[d, 0][:, k3 * B:(k3 + 1) * B]
+                    has = has_ref[d, 0][:, k3 * B:(k3 + 1) * B]
+                    out0[k3] = _addmod(out0[k3], _shoup(zd, hb, hbs, q), q)
+                    out1[k3] = _addmod(out1[k3], _shoup(zd, ha, has, q), q)
+                else:
+                    out0[k3] = _addmod(
+                        out0[k3],
+                        _mulmod_gen(zd, hb, q, r16, r16s, r32, r32s), q)
+                    out1[k3] = _addmod(
+                        out1[k3],
+                        _mulmod_gen(zd, ha, q, r16, r16s, r32, r32s), q)
         for k3 in range(r):
             out_ref[0, b_i, 0, :, k3 * B:(k3 + 1) * B] = out0[k3]
             out_ref[1, b_i, 0, :, k3 * B:(k3 + 1) * B] = out1[k3]
@@ -647,7 +662,8 @@ def hybrid_digit_stage_pallas(n: int, ext_qs: tuple[int, ...],
                               x_pack, hint_b, hint_a):
     """Digit NTTs + hint inner product over the extended chain for hybrid
     key-switching: x_pack [Bt, A, nxs·Br] Garner digit vectors (3-factor
-    grid layout, group-major columns), hints [dnum, T, n] NTT domain →
+    grid layout, group-major columns), hints [dnum, T, n] NTT domain (raw,
+    or (values, companions) Shoup pairs — the fast hint-product path) →
     [2, Bt, T, n] at the extended chain (pre-P-rescale accumulator)."""
     t = _pallas3_tables(n, ext_qs)
     A, B, r = t["A"], t["B"], t["r"]
@@ -665,13 +681,19 @@ def hybrid_digit_stage_pallas(n: int, ext_qs: tuple[int, ...],
     smem = pl.BlockSpec((T, 9), lambda l: (0, 0), memory_space=pltpu.SMEM)
     smem_ext = pl.BlockSpec((T, nxs), lambda l: (0, 0),
                             memory_space=pltpu.SMEM)
-    hb = hint_b.reshape(ndig, T, A, Br)
-    ha = hint_a.reshape(ndig, T, A, Br)
+    shoup_hints = isinstance(hint_b, (tuple, list))
+    if shoup_hints:
+        hints = [hint_b[0], hint_b[1], hint_a[0], hint_a[1]]
+    else:
+        hints = [hint_b, hint_a]
+    hints = [h.reshape(ndig, T, A, Br) for h in hints]
     dig_spec = pl.BlockSpec((ndig, 1, A, Br), lambda l: (0, l, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         partial(_hybrid_digit_relin_kernel, gidx=tuple(gidx), r=r, B=B,
-                bt=Bt),
+                bt=Bt, shoup=shoup_hints),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(100 << 20) if shoup_hints else None),
         grid=(T,),
         in_specs=[
             smem, smem_ext, smem_ext,
@@ -679,7 +701,7 @@ def hybrid_digit_stage_pallas(n: int, ext_qs: tuple[int, ...],
             _limb_spec((4, 4, A, A)),
             _limb_spec((A, Br)), _limb_spec((A, Br)),
             *[_limb_spec((4, 4, B, B)) for _ in range(r)],
-            dig_spec, dig_spec,
+            *[dig_spec for _ in hints],
         ],
         out_specs=pl.BlockSpec((2, Bt, 1, A, Br), lambda l: (0, 0, l, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -687,7 +709,7 @@ def hybrid_digit_stage_pallas(n: int, ext_qs: tuple[int, ...],
         scratch_shapes=[pltpu.VMEM((A, ndig * Br), jnp.uint32)]
         + [pltpu.VMEM((ndig * A, B), jnp.uint32) for _ in range(r)],
     )(t["scal"], w, ws, x_pack, t["w1"], t["T"], t["T_s"],
-      *t["w2f"], hb, ha)
+      *t["w2f"], *hints)
     return out.reshape(2, Bt, T, n)
 
 

@@ -371,10 +371,16 @@ def _mul_relin_hybrid_jnp(hk: HybridKS, ct_a, ct_b, hint_b, hint_a):
     dig_ntt = _ntt_p(pe, dig)
 
     t0 = t1 = None
+    shoup_hints = isinstance(hint_b, (tuple, list))
+    qe = _fast_consts(pe)["q"]
     for j in range(len(hk.groups)):
         d = dig_ntt[..., j, :, :]
-        u0 = mulmod(d, hint_b[j], pe.qs)
-        u1 = mulmod(d, hint_a[j], pe.qs)
+        if shoup_hints:
+            u0 = mulmod_shoup(d, hint_b[0][j], hint_b[1][j], qe)
+            u1 = mulmod_shoup(d, hint_a[0][j], hint_a[1][j], qe)
+        else:
+            u0 = mulmod(d, hint_b[j], pe.qs)
+            u1 = mulmod(d, hint_a[j], pe.qs)
         t0 = u0 if t0 is None else _add(t0, u0, pe)
         t1 = u1 if t1 is None else _add(t1, u1, pe)
 

@@ -92,6 +92,13 @@ def bench_on(device, p, rng, min_seconds=1.0, batch: int = 1, chain: int = 1,
 
             hk = HybridKS.make(p)
             s, (hb, ha) = hybrid_keygen_hint(hk, rng)
+            # raw hints: hybrid has 2·dnum·T products per op (vs 2·L² for
+            # TrivGad), so doubling the hint HBM for Shoup companions costs
+            # more than the smaller VPU saving (measured 0.93 vs 0.89 ms at
+            # L=16; BENCH_HYBRID_SHOUP=1 to flip)
+            if os.environ.get("BENCH_HYBRID_SHOUP") == "1":
+                hb = fast.shoup_precompute(hb, hk.pe.qs)
+                ha = fast.shoup_precompute(ha, hk.pe.qs)
             mul_fn = lambda pp, a, b, h0, h1: mul_relin_hybrid(hk, a, b, h0, h1)
         else:
             s = fast.keygen(p, rng)

@@ -73,6 +73,11 @@ def run_checks() -> dict:
     want_h = _mul_relin_hybrid_jnp(hk, c1, c2, hhb, hha)
     results["hybrid_bitident"] = bool(
         np.array_equal(np.asarray(got_h), np.asarray(want_h)))
+    hsb_h = fast.shoup_precompute(hhb, hk.pe.qs)
+    hsa_h = fast.shoup_precompute(hha, hk.pe.qs)
+    got_hs = _mul_relin_hybrid_pallas(hk, c1, c2, hsb_h, hsa_h)
+    results["hybrid_shoup_bitident"] = bool(
+        np.array_equal(np.asarray(got_hs), np.asarray(want_h)))
 
     # 3. joint P-rescale kernels vs jnp (same FastParams → same domain)
     from alchemy_tpu.she.hybrid import _rescale_joint_jnp, rescale_joint

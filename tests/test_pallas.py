@@ -231,6 +231,11 @@ def test_pallas_hybrid_mul_relin_interpret_bit_identical(monkeypatch):
     d1 = fast.decrypt(p, s, out)
     d2 = fast.decrypt(p, s, ref)
     assert np.array_equal(d1, d2)
+    # Shoup hint pairs through the kernel path: still bit-identical
+    hsb = fast.shoup_precompute(hb, hk.pe.qs)
+    hsa = fast.shoup_precompute(ha, hk.pe.qs)
+    out_s = _mul_relin_hybrid_pallas(hk, ct1, ct2, hsb, hsa)
+    assert np.array_equal(np.asarray(ref), np.asarray(out_s))
 
 
 def test_pallas_rescale_joint_interpret_bit_identical(monkeypatch):
