@@ -17,17 +17,58 @@ from alchemy_tpu.core.ring import get_ring
 
 
 def to_backend(obj, bk):
-    """Deep-convert any structure containing Cycs to the target backend."""
-    if isinstance(obj, Cyc):
-        arr = np.asarray(obj.data).astype(np.int64)
-        return Cyc(get_ring(obj.m), obj.qs, obj.basis, bk.asarray(arr, obj.qs), bk)
-    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
-        return type(obj)(**{
-            f.name: to_backend(getattr(obj, f.name), bk)
-            for f in dataclasses.fields(obj)
-        })
-    if isinstance(obj, tuple):
-        return tuple(to_backend(x, bk) for x in obj)
-    if isinstance(obj, list):
-        return [to_backend(x, bk) for x in obj]
-    return obj
+    """Deep-convert any structure containing Cycs to the target backend.
+
+    All Cycs in the structure are gathered first, grouped by (m, qs, basis,
+    shape), stacked host-side and re-homed with ONE asarray per group, then
+    sliced back. One gadget hint holds hundreds of same-shaped Cyc rows;
+    through the tunneled accelerator each individual host→device put costs
+    ~0.1-0.3 s, and the per-Cyc conversion made the Tunnel pt2ct phase
+    ~255 s of transfers (profiled round 4). Slices of one device array are
+    cheap views."""
+    cycs: list[Cyc] = []
+
+    def collect(o):
+        if isinstance(o, Cyc):
+            cycs.append(o)
+        elif dataclasses.is_dataclass(o) and not isinstance(o, type):
+            for f in dataclasses.fields(o):
+                collect(getattr(o, f.name))
+        elif isinstance(o, (tuple, list)):
+            for x in o:
+                collect(x)
+
+    collect(obj)
+    groups: dict = {}
+    for c in cycs:
+        arr = np.asarray(c.data)
+        groups.setdefault((c.m, c.qs, c.basis, arr.shape), []).append(c)
+    converted: dict[int, Cyc] = {}
+    for (m, qs, basis, shape), members in groups.items():
+        stacked = np.stack(
+            [np.asarray(c.data).astype(np.int64).reshape(len(qs), -1)
+             for c in members])
+        rows = stacked.shape[1]
+        # one device put for the whole group, then per-member slices
+        dev_all = bk.asarray(stacked.reshape(-1, stacked.shape[-1]),
+                             qs * len(members))
+        ring = get_ring(m)
+        for i, c in enumerate(members):
+            d = dev_all[i * rows:(i + 1) * rows].reshape(shape)
+            converted[id(c)] = Cyc(ring, qs, basis, d, bk)
+
+    def rebuild(o):
+        if isinstance(o, Cyc):
+            return converted[id(o)]
+        if dataclasses.is_dataclass(o) and not isinstance(o, type):
+            return type(o)(**{
+                f.name: rebuild(getattr(o, f.name))
+                for f in dataclasses.fields(o)
+            })
+        if isinstance(o, tuple):
+            return tuple(rebuild(x) for x in o)
+        if isinstance(o, list):
+            return [rebuild(x) for x in o]
+        return o
+
+    return rebuild(obj)
