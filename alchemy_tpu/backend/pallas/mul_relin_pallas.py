@@ -18,9 +18,11 @@ is n·256 base MACs per limb transform vs n·384 for the 2-factor split:
       enter UNREDUCED mod q_l; the digit-plane matmul reduces any uint32
       exactly at recombination, DESIGN.md); the twiddle, radix-r butterfly,
       per-k3 stage-3 dots, hint products, and accumulation into (out0,
-      out1) never leave VMEM; HBM sees each hint slice exactly once (raw
-      u32 — no Shoup companion stream, the in-VMEM general modmul is
-      cheaper than doubling the hint read).
+      out1) never leave VMEM. Hints stream either as raw u32 (each slice
+      read once, general modmul products) or as (values, companions) Shoup
+      pairs — 2× hint HBM for ~3× cheaper products, the measured win for
+      the TrivGad L² product count and the default via
+      fast.relin_hint(shoup=True).
 
 Semantics identical to she/fast.py mul_relin (reference: the key-switch /
 relinearization dataflow of SymmSHE `keySwitchQuadCirc`, consumed at

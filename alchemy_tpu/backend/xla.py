@@ -307,8 +307,19 @@ class XlaBackend:
         return groups
 
     def _kron_pair(self, m1, m2, qs: tuple[int, ...]):
-        """Per-limb (or shared) Kronecker product, reduced mod q, cached."""
-        key = (id(m1), id(m2), qs)
+        """Per-limb (or shared) Kronecker product, reduced mod q, cached.
+
+        The cache keys on the ids of the ELEMENT arrays, not the list
+        wrappers: to_pow/to_crt rebuild the per-limb lists every call, but
+        their elements come from lru-cached table builders and are stable
+        — keying on list ids would never hit and grow without bound."""
+
+        def mat_key(m):
+            if isinstance(m, (list, tuple)):
+                return tuple(id(x) for x in m)
+            return id(m)
+
+        key = (mat_key(m1), mat_key(m2), qs)
         out = self._kron_cache.get(key)
         if out is None:
             p1 = isinstance(m1, (list, tuple))
@@ -322,7 +333,7 @@ class XlaBackend:
                 ]
             else:
                 out = np.kron(m1.astype(np.int64), m2.astype(np.int64))
-            # keep the sources alive so the id-based key stays valid
+            # keep the source arrays alive so the id-based key stays valid
             self._kron_cache[key] = out
             self._kron_srcs.append((m1, m2))
         return out

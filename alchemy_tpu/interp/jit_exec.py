@@ -122,10 +122,12 @@ def _auto_sharding(arr, mesh, warn: bool = True):
 
 class JitCompiled:
     def __init__(self, compiled: CompiledExpr, example_cts: list[CT],
-                 mesh=None, limb_pad: bool = True, noise_probe=None):
+                 mesh=None, limb_pad: bool = True, noise_probe=None,
+                 strict: bool = False):
         self.compiled = compiled
         self.mesh = mesh
         self.probe_ctx = noise_probe
+        self.probe_strict = strict
         self.arg_meta = [
             (ct.m, ct.zp, ct.scale, [_cyc_meta(c) for c in ct.comps])
             for ct in example_cts
@@ -255,18 +257,19 @@ class JitCompiled:
         out = CT(m=m, zp=zp, scale=scale, comps=comps)
         if self.probe_ctx is None:
             return out
-        from alchemy_tpu.she.noise_probe import rate_from_digits
+        from alchemy_tpu.interp.error_writer import resolve_log
+        from alchemy_tpu.she.noise_probe import DeferredRate
 
-        rates = [
-            (lbl, rate_from_digits(np.asarray(d), qs))
-            for (lbl, qs), d in zip(self.log_meta, arrays[len(comps_meta):])
-        ]
+        rates = resolve_log(
+            [(lbl, DeferredRate(d, qs))
+             for (lbl, qs), d in zip(self.log_meta, arrays[len(comps_meta):])],
+            strict=self.probe_strict)
         return out, rates
 
 
 def jit_compile(compiled: CompiledExpr, example_cts: list[CT],
                 mesh=None, limb_pad: bool = True,
-                noise_probe=None) -> JitCompiled:
+                noise_probe=None, strict: bool = False) -> JitCompiled:
     """Compile the full ciphertext program into one XLA executable.
     `example_cts` fix the (static) argument metadata.
 
@@ -281,6 +284,9 @@ def jit_compile(compiled: CompiledExpr, example_cts: list[CT],
     With `noise_probe` (a KeysHints context holding the secret keys), the
     whole program is kleislified (interp/error_writer.py) and every probed
     op's error digits ride along as jit outputs: calls return
-    (ct, [(label, rate)]) — strict ERW with zero host lifts."""
+    (ct, [(label, rate)]) with zero host lifts. `strict=True` additionally
+    raises NoiseOverflowError when a resolved rate crosses the
+    decryption-failure threshold — matching eager
+    eval_with_error_rates(..., strict=True)."""
     return JitCompiled(compiled, example_cts, mesh=mesh, limb_pad=limb_pad,
-                       noise_probe=noise_probe)
+                       noise_probe=noise_probe, strict=strict)

@@ -291,10 +291,11 @@ def mul_relin(p: FastParams, ct_a, ct_b, hint_b, hint_a):
     Inputs/outputs in the NTT domain at the full chain. Hints are either raw
     values [L, L, n] (general mulmod applied) or Shoup-precomputed pairs
     (values, companions) from `relin_hint(..., shoup=True)` — the fast path
-    for the jnp formulation. With impl="pallas" (and an unbatched ct whose
-    MXU split has n2 % 128 == 0, i.e. n ≥ 2^14) the whole op runs as the
-    fused VMEM-resident Mosaic kernel (backend/pallas/mul_relin_pallas.py,
-    raw hints), bit-identical to the jnp path.
+    for BOTH formulations (the Mosaic kernel streams the companions next to
+    the values and drops its hint products to Shoup multiplies). With
+    impl="pallas" (and n % 16384 == 0) the whole op runs as the fused
+    VMEM-resident Mosaic kernel (backend/pallas/mul_relin_pallas.py),
+    bit-identical to the jnp path for either hint layout.
     """
     if p.impl == "pallas" and ct_a.ndim in (3, 4) and p.n % 16384 == 0 \
             and p.n // 16384 in (1, 2, 4):

@@ -407,7 +407,8 @@ def _mul_relin_hybrid_pallas(hk: HybridKS, ct_a, ct_b, hint_b, hint_a):
     if unbatched:
         ct_a, ct_b = ct_a[None], ct_b[None]
     Bt = ct_a.shape[0]
-    cap = max_batch(hk.p.n, len(hk.pe.qs))
+    cap = max_batch(hk.p.n, len(hk.pe.qs),
+                    shoup=isinstance(hint_b, (tuple, list)))
     if Bt <= cap:
         out = _mul_relin_hybrid_pallas_one(hk, ct_a, ct_b, hint_b, hint_a)
         return out[0] if unbatched else out

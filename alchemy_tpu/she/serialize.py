@@ -37,24 +37,24 @@ from alchemy_tpu.she.keys import SK
 
 
 def _rng_state(ctx: KeysHints) -> dict:
-    """JSON-serializable snapshot of the context's RNG stream position.
-
-    A checkpoint's purpose is to re-encrypt in a fresh process; without this,
-    every resumed process would re-derive the identical default_rng(seed)
-    stream and reuse (a, e) encryption randomness under the same secret key
-    (subtracting two such ciphertexts cancels the mask)."""
+    """JSON-serializable snapshot of the context's RNG stream position
+    (recorded for auditability; NOT restored — see _restore_rng)."""
     return ctx.rng.bit_generator.state
 
 
 def _restore_rng(ctx: KeysHints, state: dict | None) -> None:
-    if state is not None:
-        ctx.rng.bit_generator.state = state
-    else:
-        # Legacy checkpoint without RNG state: NEVER resume the default
-        # stream — reseed from OS entropy so resumed encryptions are fresh.
-        import secrets
+    """Always reseed the resumed context from OS entropy.
 
-        ctx.rng = np.random.default_rng(secrets.randbits(128))
+    Restoring the saved stream position would make every process resuming
+    from the same checkpoint replay identical (a, e) encryption randomness
+    under the same secret key (two resumed workers, or a crash-retry, then
+    produce ciphertexts whose difference cancels the a·s mask and leaks the
+    plaintext difference). Fresh entropy is always safe — nothing after
+    resume needs the original stream, only non-reuse."""
+    del state
+    import secrets
+
+    ctx.rng = np.random.default_rng(secrets.randbits(128))
 
 
 def save_keys(ctx: KeysHints, path: str) -> None:

@@ -244,8 +244,11 @@ def main():
             from alchemy_tpu.she.fast import FastParams as _FP
 
             p_cpu = _FP.make(log_n, nlimb, zp=2, impl="vpu")
+            # same batch as the accelerator run: vs_baseline must compare
+            # like-for-like (CPU/XLA also vectorizes over the batch)
             ops_cpu, _, _ = bench_on(cpus[0], p_cpu, np.random.default_rng(0),
-                                     min(secs, 1.0), chain=chain, ks=ks)
+                                     min(secs, 1.0), batch=batch, chain=chain,
+                                     ks=ks)
             log(f"mul_relin on cpu: {ops_cpu:.2f} ops/s")
             vs = ops_accel / ops_cpu
     except Exception as e:  # CPU backend may be unavailable under the driver

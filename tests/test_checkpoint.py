@@ -122,3 +122,32 @@ def test_checkpoint_fresh_process(tmp_path):
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("COEFFS")][0]
     got = eval(line.split(" ", 1)[1])
     assert got == BK.to_numpy(want.data)[0].tolist()
+
+
+def test_resumed_contexts_never_reuse_encryption_randomness(tmp_path):
+    """Two processes resuming from the SAME checkpoint must not replay the
+    same (a, e) encryption randomness (ciphertext differences would cancel
+    the a·s mask): every load reseeds from OS entropy."""
+    from alchemy_tpu.core.cyc import Cyc
+    from alchemy_tpu.interp.keys_hints import KeysHints
+    from alchemy_tpu.interp.pt2ct import pt2ct
+    from alchemy_tpu.lang.dsl import lam2
+    from alchemy_tpu.nt.factor import totient
+    from alchemy_tpu.she.gadget import TrivGad
+    from alchemy_tpu.she.serialize import load_checkpoint, save_checkpoint
+    from alchemy_tpu.examples.arithmetic import M, M_MAP, PT, ZP, ZQS, addMul
+
+    ctx = KeysHints(3.0, seed=0)
+    compiled = pt2ct(addMul, res_ty=PT, m_map=M_MAP, zqs=ZQS, gad=TrivGad(),
+                     ctx=ctx)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(compiled, path)
+    worker1, _ = load_checkpoint(path)
+    worker2, _ = load_checkpoint(path)
+    pt = Cyc.from_coeffs(M, (ZP,), np.zeros(totient(M), dtype=np.int64),
+                         worker1.ctx.bk)
+    c1 = worker1.encrypt_arg(pt, 0)
+    c2 = worker2.encrypt_arg(pt, 0)
+    # the uniform mask component a must differ between the two resumes
+    assert not np.array_equal(np.asarray(c1.comps[1].data),
+                              np.asarray(c2.comps[1].data))
