@@ -717,8 +717,9 @@ def hybrid_digit_stage_pallas(n: int, ext_qs: tuple[int, ...],
 
 def mul_relin_pallas(p, ct_a, ct_b, hint_b, hint_a):
     """Fused multiply+relinearize, [2, L, n] or batched [Bt, 2, L, n] cts
-    (3-factor NTT domain), raw u32 hints [L, L, n]. Bit-identical to
-    she/fast.mul_relin with impl="pallas" on the same inputs.
+    (3-factor NTT domain); hints are raw u32 [L, L, n] or (values,
+    companions) Shoup pairs. Bit-identical to she/fast.mul_relin with
+    impl="pallas" on the same inputs for either hint layout.
 
     Batches larger than the VMEM cap (max_batch) chunk through `lax.map`:
     the while-loop SERIALIZES the fused calls — unrolled chunk calls let the
