@@ -166,3 +166,40 @@ def test_erw_device_probe_tunnel_2e13_coeffs():
     _, log = eval_with_error_rates(compiled.ir, ctx, ct, strict=True)
     assert len(log) >= 4
     assert all(rate < 0.01 for _, rate in log), log
+
+
+def test_erw_jit_strict_matches_eager_strict():
+    """jit_compile(..., noise_probe=ctx, strict=True) enforces the same
+    NoiseOverflowError threshold as eager strict ERW (and passes cleanly on
+    a healthy program)."""
+    from alchemy_tpu.backend import xla_backend
+    from alchemy_tpu.examples.arithmetic import M, M_MAP, PT, ZP, ZQS, addMul
+    from alchemy_tpu.interp.error_writer import (
+        NOISE_OVERFLOW_THRESHOLD,
+        NoiseOverflowError,
+        resolve_log,
+    )
+    from alchemy_tpu.interp.jit_exec import jit_compile
+    from alchemy_tpu.she.noise_probe import DeferredRate
+
+    rng = np.random.default_rng(21)
+    ctx = KeysHints(3.0, seed=21, bk=xla_backend())
+    compiled = pt2ct(addMul, res_ty=PT, m_map=M_MAP, zqs=ZQS, gad=TrivGad(),
+                     ctx=ctx)
+    args = [
+        compiled.encrypt_arg(
+            Cyc.from_coeffs(M, (ZP,), rng.integers(0, ZP, totient(M)),
+                            ctx.bk), i)
+        for i in range(2)
+    ]
+    jfn = jit_compile(compiled, args, noise_probe=ctx, strict=True)
+    _, rates = jfn(*args)  # healthy program: no raise
+    assert all(r < NOISE_OVERFLOW_THRESHOLD for _, r in rates)
+    # resolve_log raises on an over-threshold deferred entry (digits of a
+    # value near Q/2 → rate ≈ 0.5 > threshold)
+    bad = DeferredRate(
+        np.array([q // 2 for q in args[0].qs], dtype=np.int64), args[0].qs)
+    import pytest as _pytest
+
+    with _pytest.raises(NoiseOverflowError):
+        resolve_log([("synthetic", bad)], strict=True)
