@@ -310,6 +310,10 @@ def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref, w1_ref,
                 out_ref[1, b_i, 0, :, k3 * B:(k3 + 1) * B] = \
                     c1_ref[b_i, 0][:, k3 * B:(k3 + 1) * B]
 
+    # (A cross-ciphertext software pipeline — issuing the next ct's stage-1
+    # sums before this ct's VPU phase — measured 289 vs 284 us/ct at Bt=16:
+    # Mosaic already overlaps from dependencies, and the extra live f32
+    # sums cost VMEM. Kept simple.)
     for b_i in range(bt):
         y = _mod_matmul(_planes(c2c_ref[b_i]), w1,
                         q, r16, r16s, r32, r32s, left=True)   # [A, dc·Br]
