@@ -394,7 +394,15 @@ def max_batch(n: int, L: int, shoup: bool = False) -> int:
     1 at 2^16/L=8). The shoup path raises vmem_limit_bytes to 100 MB (v5e
     has the headroom) and batches up to 16 cts per fused call — measured
     284 us/ct (3522 ops/s) at Bt=16 vs 345 us/ct at the raw path's Bt=4;
-    Bt=32 fails to compile (kernel A's input streams)."""
+    Bt=32 fails to compile (kernel A's input streams).
+
+    CAVEAT: the 90-of-100 MB usable figure and the 'Bt=16 compiles at 2^15'
+    bytes_cap anchor are EMPIRICAL constants for the Mosaic compiler
+    shipped with jax 0.9 on v5e — a compiler update or an untested ring
+    size could admit a batch that then fails to compile. Callers that must
+    degrade gracefully (bench.py, the fused-batch `mul_relin` chunker)
+    should catch the Mosaic compile error and retry at half batch; the
+    min(16, ...) clamp bounds the blast radius."""
     if shoup:
         fixed = 4 * n * L * 5 + (6 << 20)   # 4 hint slices + scratch + tables
         per_ct = 4 * n * (L + 4)

@@ -176,7 +176,6 @@ class XlaBackend:
         self._mat_cache: dict = {}
         self._mat_dev_cache: dict = {}
         self._kron_cache: dict = {}
-        self._kron_srcs: list = []
 
     # -- construction -------------------------------------------------------
 
@@ -309,15 +308,17 @@ class XlaBackend:
     def _kron_pair(self, m1, m2, qs: tuple[int, ...]):
         """Per-limb (or shared) Kronecker product, reduced mod q, cached.
 
-        The cache keys on the ids of the ELEMENT arrays, not the list
-        wrappers: to_pow/to_crt rebuild the per-limb lists every call, but
-        their elements come from lru-cached table builders and are stable
-        — keying on list ids would never hit and grow without bound."""
+        The cache keys on CONTENT (shape + bytes, like _mats_device), not
+        array ids: to_pow/to_crt rebuild the per-limb lists every call, and
+        content keys keep hits independent of whether a caller passes
+        lru-cached (stable) or freshly built matrices. Distinct (axis-pair,
+        qs) combinations are bounded by the ring factorizations in use, so
+        the cache cannot grow without bound."""
 
         def mat_key(m):
             if isinstance(m, (list, tuple)):
-                return tuple(id(x) for x in m)
-            return id(m)
+                return tuple((x.shape, x.tobytes()) for x in m)
+            return (m.shape, m.tobytes())
 
         key = (mat_key(m1), mat_key(m2), qs)
         out = self._kron_cache.get(key)
@@ -333,9 +334,7 @@ class XlaBackend:
                 ]
             else:
                 out = np.kron(m1.astype(np.int64), m2.astype(np.int64))
-            # keep the source arrays alive so the id-based key stays valid
             self._kron_cache[key] = out
-            self._kron_srcs.append((m1, m2))
         return out
 
     def axis_matmul(self, a, mats, shape, qs):

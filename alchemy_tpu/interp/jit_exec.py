@@ -286,7 +286,13 @@ def jit_compile(compiled: CompiledExpr, example_cts: list[CT],
     op's error digits ride along as jit outputs: calls return
     (ct, [(label, rate)]) with zero host lifts. `strict=True` additionally
     raises NoiseOverflowError when a resolved rate crosses the
-    decryption-failure threshold — matching eager
-    eval_with_error_rates(..., strict=True)."""
+    decryption-failure threshold. NOTE the abort semantics differ from
+    eager eval_with_error_rates(..., strict=True): eager strict aborts at
+    the first overflowing op, while the jitted program is one XLA
+    executable that runs to completion — the check fires post-hoc in
+    resolve_log, after the full result is computed. Same exception, same
+    threshold; but a caller that consumes the returned ciphertext BEFORE
+    resolving the log bypasses the guard. Resolve (or decrypt via the
+    returned pair) before using the output when strict matters."""
     return JitCompiled(compiled, example_cts, mesh=mesh, limb_pad=limb_pad,
                        noise_probe=noise_probe, strict=strict)

@@ -41,19 +41,21 @@ def to_backend(obj, bk):
     collect(obj)
     groups: dict = {}
     for c in cycs:
+        # materialize once: device-resident inputs pay one readback, reused
+        # for both the shape key and the stack below
         arr = np.asarray(c.data)
-        groups.setdefault((c.m, c.qs, c.basis, arr.shape), []).append(c)
+        groups.setdefault((c.m, c.qs, c.basis, arr.shape), []).append((c, arr))
     converted: dict[int, Cyc] = {}
     for (m, qs, basis, shape), members in groups.items():
         stacked = np.stack(
-            [np.asarray(c.data).astype(np.int64).reshape(len(qs), -1)
-             for c in members])
+            [arr.astype(np.int64).reshape(len(qs), -1)
+             for _, arr in members])
         rows = stacked.shape[1]
         # one device put for the whole group, then per-member slices
         dev_all = bk.asarray(stacked.reshape(-1, stacked.shape[-1]),
                              qs * len(members))
         ring = get_ring(m)
-        for i, c in enumerate(members):
+        for i, (c, _) in enumerate(members):
             d = dev_all[i * rows:(i + 1) * rows].reshape(shape)
             converted[id(c)] = Cyc(ring, qs, basis, d, bk)
 

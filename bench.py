@@ -262,7 +262,12 @@ def main():
         "value": round(ops_accel, 3),
         "unit": "ops/s",
         "vs_baseline": round(vs, 3),
+        # `value` is BATCHED throughput (batch defaulted 1 in rounds 1-3,
+        # 16 since round 4); compare rounds via latency_1ct_ms (the
+        # like-for-like single-ct number) or at matching `batch`
         "batch": batch,
+        "value_semantics": "batched_throughput; use latency_1ct_ms for "
+                           "round-over-round single-ct comparison",
         "latency_1ct_ms": round(lat_1ct * 1e3, 4) if lat_1ct else None,
         "dispersion": {
             "ms_best": round(stats["best"] * 1e3, 4),
