@@ -45,9 +45,11 @@ from alchemy_tpu.backend.ntt_mxu3 import mxu3_tables
 from alchemy_tpu.backend.xla import shoup_const
 from alchemy_tpu.backend.pallas.ntt_pallas import (
     _M16,
+    _assemble_lo_hi,
     _matmul_sums,
     _mod_matmul,
     _planes,
+    _recombine_sums,
     _reduce_u32,
     _shoup,
 )
@@ -58,6 +60,15 @@ U32 = jnp.uint32
 #: recombination/hint phase (measured ≥ the alternating order on device,
 #: bit-identical); ALCHEMY_KB_OVERLAP=0 restores the alternating order
 _KB_OVERLAP = os.environ.get("ALCHEMY_KB_OVERLAP", "1") == "1"
+
+#: ct-major kernel B at the headline configs (see
+#: _digit_relin_ctmajor_kernel); ALCHEMY_KB_CTMAJOR=0 restores the
+#: limb-major digit-chunked kernel everywhere
+_KB_CTMAJOR = os.environ.get("ALCHEMY_KB_CTMAJOR", "1") == "1"
+
+#: limb-group size for the ct-major stacked stage-1 dot (VMEM/width
+#: trade; measured on device)
+_KB_LG = int(os.environ.get("ALCHEMY_KB_LG", "2"))
 
 
 def _mulmod_gen(a, b, q, r16, r16s, r32, r32s):
@@ -166,14 +177,33 @@ def _pallas3_tables(n: int, qs: tuple[int, ...]):
             bd_f.append(_sp(bdf, q))
         w2if_bd = bf16(np.stack(bd_i))
         w2f_bd = bf16(np.stack(bd_f))
+    # T32 = (2^32·T) mod q with companions: the ct-major kernel twiddles the
+    # UNREDUCED (lo, hi) stage-1 pair (value = lo + 2^32·hi) directly —
+    # tw = shoup(lo, T) ⊕ shoup(hi, T32) — skipping the mod-q
+    # canonicalization between stage 1 and the twiddle (Shoup is exact for
+    # any u32 input when the multiplier is the precomputed constant)
+    Tv = t["T"][0].astype(np.int64)                      # [L, A, Br]
+    qs_col = np.array(qs, dtype=np.int64)[:, None, None]
+    t32v = (Tv << 32) % qs_col
+    t32s = np.empty_like(t32v)
+    for li, q in enumerate(qs):
+        t32s[li] = (t32v[li].astype(object) << 32) // q
+    # stacked stage-1 forward planes [4, 4, L·A, A]: ONE left dot covers a
+    # whole limb group (the ct-major kernel slices row blocks) — fewer,
+    # wider MXU issues than per-limb [A, A] dots
+    w1s = np.ascontiguousarray(
+        np.asarray(t["W1"]).transpose(1, 2, 0, 3, 4).reshape(
+            4, 4, L * t["A"], t["A"]))
     return {
         "A": t["A"], "B": t["B"], "r": r,
         "scal": scal,
         "w1": bf16(t["W1"]), "w1i": bf16(t["W1i"]),
+        "w1s": bf16(w1s),
         "w2f": w2f, "w2if": w2if,    # lists over k3: [L, 4, 4, B, B]
         "w2if_bd": w2if_bd,          # [L, 4, 4, Br, Br] or None (r = 4)
         "w2f_bd": w2f_bd,
         "T": t["T"][0], "T_s": t["T"][1],
+        "T32": t32v.astype(np.uint32), "T32_s": t32s.astype(np.uint32),
         "Ti": t["Ti"][0], "Ti_s": t["Ti"][1],
     }
 
@@ -342,10 +372,6 @@ def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref, w1_ref,
         for k3 in range(r):
             # stage 3 for the chunk's digits at once: one [dc·A, B] @ [B, B]
             if _KB_OVERLAP:
-                from alchemy_tpu.backend.pallas.ntt_pallas import (
-                    _recombine_sums,
-                )
-
                 z = _recombine_sums(all_sums[k3], q, r16, r16s, r32, r32s)
             else:
                 z = _mod_matmul(_planes(scr_refs[k3][...]), w2f[k3],
@@ -368,6 +394,93 @@ def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref, w1_ref,
                         o1, _mulmod_gen(zd, ha, q, r16, r16s, r32, r32s), q)
             out_ref[0, b_i, 0, :, k3 * B:(k3 + 1) * B] = o0
             out_ref[1, b_i, 0, :, k3 * B:(k3 + 1) * B] = o1
+
+
+def _digit_relin_ctmajor_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref,
+                                w1s_ref, t_ref, t_s_ref, t32_ref, t32s_ref,
+                                *rest_refs, r: int, B: int, L: int, lg: int):
+    """Ct-major variant of kernel B: grid over ciphertexts, limbs unrolled
+    inside — the VPU-cutting restructure (VERDICT r4 #1). Three levers vs
+    the limb-major kernel, all bit-identical (exact mod-q arithmetic):
+
+    1. The bf16 planes of the c2c digit block are LIMB-INDEPENDENT (the
+       unreduced-digit trick makes the modulus enter only via the scaled
+       weight planes), so they are extracted ONCE per ct instead of once
+       per output limb (8× at L=8).
+    2. Stage 1 runs as ONE stacked dot per limb group ([lg·A, A] @
+       [A, L·Br]) and its output skips canonicalization: the twiddle
+       multiplies the raw (lo, hi) plane-sum pair via two Shoup mults
+       against (T, 2^32·T mod q) — ~25 fewer VPU ops per element than
+       recombine-then-twiddle.
+    3. Hints live VMEM-RESIDENT across the whole grid (constant index
+       maps) and every limb's dataflow is independent SSA — no scratch
+       write-after-read hazards — so Mosaic can overlap limb g+1's MXU
+       dots with limb g's VPU recombination/hint products.
+
+    Applies when the digit grid is single-chunk (L·Br ≤ 2048) and the four
+    Shoup hint streams fit VMEM (~L²·n·16 B ≤ 40 MB): the n=2^14/2^15
+    headline configs. Deep chains and 2^16 stay on the digit-chunked
+    limb-major kernel."""
+    w2f_refs = rest_refs[:r]
+    hb_ref, hbs_ref, ha_ref, has_ref = rest_refs[r:r + 4]
+    out_ref = rest_refs[r + 4]
+    Br = r * B
+    x = c2c_ref[0]                       # [A, L·Br]
+    A = x.shape[0]
+    xpl = _planes(x)                     # once per ct (limb-independent)
+    for g in range(0, L, lg):
+        nl = min(lg, L - g)
+        Wg = [[w1s_ref[0, d, f, pl.ds(g * A, nl * A), :] for f in range(4)]
+              for d in range(4)]
+        sums = _matmul_sums(xpl, Wg, left=True)    # 4 × [nl·A, L·Br]
+        lo, hi = _assemble_lo_hi(sums)
+        for j in range(nl):
+            l = g + j
+            q = scalars_ref[l, 0]
+            r16 = scalars_ref[l, 1]
+            r16s = scalars_ref[l, 2]
+            r32 = scalars_ref[l, 3]
+            r32s = scalars_ref[l, 4]
+            lo_l = lo[j * A:(j + 1) * A, :]
+            hi_l = hi[j * A:(j + 1) * A, :]
+            tv, ts = t_ref[l], t_s_ref[l]
+            t32v, t32s = t32_ref[l], t32s_ref[l]
+            blocks_k3 = [[] for _ in range(r)]
+            for di in range(L):
+                sl = slice(di * Br, (di + 1) * Br)
+                # unreduced twiddle: value·T ≡ lo·T + hi·(2^32·T)  (mod q)
+                tw = _addmod(_shoup(lo_l[:, sl], tv, ts, q),
+                             _shoup(hi_l[:, sl], t32v, t32s, q), q)
+                if r == 2:
+                    b_lo, b_hi = tw[:, :B], tw[:, B:]
+                    bs = [_addmod(b_lo, b_hi, q), _submod(b_lo, b_hi, q)]
+                elif r == 4:
+                    bs = _dft4([tw[:, k * B:(k + 1) * B] for k in range(4)],
+                               scalars_ref[l, 5], scalars_ref[l, 6], q)
+                else:
+                    bs = [tw]
+                for k3 in range(r):
+                    blocks_k3[k3].append(bs[k3])
+            w2f = [
+                [[w2f_refs[k3][l, d, f] for f in range(4)] for d in range(4)]
+                for k3 in range(r)
+            ]
+            for k3 in range(r):
+                zin = (jnp.concatenate(blocks_k3[k3], axis=0)
+                       if L > 1 else blocks_k3[k3][0])      # [L·A, B]
+                z = _mod_matmul(_planes(zin), w2f[k3],
+                                q, r16, r16s, r32, r32s, left=False)
+                ks = slice(k3 * B, (k3 + 1) * B)
+                o0 = c0_ref[0, l][:, ks]
+                o1 = c1_ref[0, l][:, ks]
+                for di in range(L):
+                    zd = z[di * A:(di + 1) * A, :]
+                    o0 = _addmod(o0, _shoup(zd, hb_ref[di, l][:, ks],
+                                            hbs_ref[di, l][:, ks], q), q)
+                    o1 = _addmod(o1, _shoup(zd, ha_ref[di, l][:, ks],
+                                            has_ref[di, l][:, ks], q), q)
+                out_ref[0, 0, l, :, ks] = o0
+                out_ref[1, 0, l, :, ks] = o1
 
 
 def _limb_spec(shape):
@@ -477,6 +590,48 @@ def _limb_spec2(shape):
                         memory_space=pltpu.VMEM)
 
 
+def _mul_relin_ctmajor(p, t, c0, c1, c2c, hint_b, hint_a):
+    """pallas_call wrapper for _digit_relin_ctmajor_kernel: grid (Bt,),
+    hints/tables resident (constant index maps), per-ct streams."""
+    n, qs = p.n, p.qs
+    L = len(qs)
+    A, B, r = t["A"], t["B"], t["r"]
+    Br = B * r
+    Bt = c2c.shape[0]
+    lg = max(1, min(_KB_LG, L))
+    hints = [h.reshape(L, L, A, Br)
+             for h in (hint_b[0], hint_b[1], hint_a[0], hint_a[1])]
+    smem = pl.BlockSpec((L, 9), lambda b: (0, 0), memory_space=pltpu.SMEM)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda b: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_digit_relin_ctmajor_kernel, r=r, B=B, L=L, lg=lg),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(100 << 20)),
+        grid=(Bt,),
+        in_specs=[
+            smem,
+            pl.BlockSpec((1, A, L * Br), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, A, Br), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, A, Br), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((1, 4, 4, L * A, A)),
+            const((L, A, Br)), const((L, A, Br)),
+            const((L, A, Br)), const((L, A, Br)),
+            *[const((L, 4, 4, B, B)) for _ in range(r)],
+            *[const((L, L, A, Br)) for _ in hints],
+        ],
+        out_specs=pl.BlockSpec((2, 1, L, A, Br),
+                               lambda b: (0, b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, Bt, L, A, Br), jnp.uint32),
+    )(t["scal"], c2c, c0, c1, t["w1s"][None], t["T"], t["T_s"],
+      t["T32"], t["T32_s"], *t["w2f"], *hints)
+    return jnp.moveaxis(out.reshape(2, Bt, L, n), 0, 1)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
     """One fused call over a static batch [Bt, 2, L, n] (Bt ≤ MAX_BATCH).
@@ -490,6 +645,15 @@ def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
     Bt = ct_a.shape[0]
     shoup_hints = isinstance(hint_b, (tuple, list))
     c0, c1, c2c = _tensor_intt_call(p, ct_a, ct_b)
+
+    # ct-major kernel (VERDICT r5 lever): hoisted limb-independent planes,
+    # stacked stage-1, unreduced twiddle, resident hints, SSA limb
+    # independence — applies at the headline configs (single digit chunk,
+    # Shoup hints that fit VMEM)
+    hint_mb = 16 * L * L * n / (1 << 20)   # 4 u32 streams
+    if (_KB_CTMAJOR and shoup_hints and L * Br <= 2048
+            and hint_mb <= 40.0):
+        return _mul_relin_ctmajor(p, t, c0, c1, c2c, hint_b, hint_a)
 
     # digit-chunked grid: dc digits per step (≤ 2048 lanes for the stage-1
     # wide dot); VMEM is chunk-sized, independent of L. Shrink dc until the

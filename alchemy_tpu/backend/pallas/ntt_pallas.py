@@ -81,9 +81,12 @@ def _matmul_sums(planes_x, W_planes, left: bool):
     return sums
 
 
-def _recombine_sums(sums, q, r16, r16s, r32, r32s):
-    """The VPU phase of _mod_matmul: assemble the plane sums into an exact
-    (lo, hi) pair and reduce mod q once (see backend/ntt_mxu.py)."""
+def _assemble_lo_hi(sums):
+    """Assemble the 4 scale-f plane sums into the exact (lo, hi) pair with
+    value = lo + 2^32·hi (hi < 2^19). Split from _recombine_sums so callers
+    can consume the UNREDUCED pair — e.g. kernel B's twiddle multiplies
+    (lo, hi) directly via two Shoup mults against (T, 2^32·T mod q) tables,
+    skipping the mod-q canonicalization between stage 1 and the twiddle."""
     lo = sums[0]
     hi = jnp.zeros_like(lo)
     for f in (1, 2, 3):
@@ -91,6 +94,13 @@ def _recombine_sums(sums, q, r16, r16s, r32, r32s):
         lo = lo + add_lo
         carry = (lo < add_lo).astype(U32)
         hi = hi + (sums[f] >> np.uint32(32 - 8 * f)) + carry
+    return lo, hi
+
+
+def _recombine_sums(sums, q, r16, r16s, r32, r32s):
+    """The VPU phase of _mod_matmul: assemble the plane sums into an exact
+    (lo, hi) pair and reduce mod q once (see backend/ntt_mxu.py)."""
+    lo, hi = _assemble_lo_hi(sums)
     lored = _reduce_u32(lo, q, r16, r16s)
     hired = _shoup(hi, r32, r32s, q)  # hi < 2^19
     out = hired + lored

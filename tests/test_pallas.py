@@ -315,3 +315,32 @@ def test_pallas_standalone_ntt3_bit_identical(monkeypatch):
     assert np.array_equal(np.asarray(yb[0]), np.asarray(y))
     assert np.array_equal(np.asarray(intt_mxu3(yb, p.n, p.qs)),
                           np.asarray(xb))
+
+
+def test_pallas_mul_relin_ctmajor_r2_bit_identical(monkeypatch):
+    """The ct-major kernel B (grid over cts, limbs inner: hoisted planes,
+    stacked stage-1, unreduced (lo, hi) twiddle via the T32 table) matches
+    the jnp reference AND the limb-major kernel bit-for-bit at an r=2
+    butterfly config with an odd limb count (uneven stage-1 limb groups)
+    and a ciphertext batch."""
+    mrk = _patch_interpret_mr(monkeypatch)
+    from alchemy_tpu.she import fast
+    from alchemy_tpu.she.fast import FastParams
+
+    p = FastParams.make(11, 5, impl="pallas")   # A=B=32, r=2; L=5 odd
+    rng = np.random.default_rng(3)
+    s = fast.keygen(p, rng)
+    hb, ha = fast.relin_hint(p, s, rng, shoup=True)
+    cts = [fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
+           for _ in range(3)]
+    ca = jnp.stack(cts)
+    cb = jnp.stack([cts[1], cts[2], cts[0]])
+    ref = fast._mul_relin_jnp(p, ca, cb, hb, ha)
+    out_ct = mrk.mul_relin_pallas(p, ca, cb, hb, ha)     # ct-major path
+    assert np.array_equal(np.asarray(ref), np.asarray(out_ct))
+    monkeypatch.setattr(mrk, "_KB_CTMAJOR", False)
+    mrk._mul_relin_pallas_one.clear_cache()
+    out_lm = mrk.mul_relin_pallas(p, ca, cb, hb, ha)     # limb-major path
+    assert np.array_equal(np.asarray(out_ct), np.asarray(out_lm))
+    monkeypatch.setattr(mrk, "_KB_CTMAJOR", True)
+    mrk._mul_relin_pallas_one.clear_cache()
