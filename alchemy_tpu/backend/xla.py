@@ -24,6 +24,11 @@ import numpy as np
 U32 = jnp.uint32
 _MASK16 = np.uint32(0xFFFF)
 
+#: when set to a list, axis_matmul appends (L, d_in, d_out, R) per group
+#: application at trace time — the exact-MAC ledger used by
+#: scripts/profile_examples.py (None = off, zero overhead)
+MAC_COUNTER: list | None = None
+
 
 def _split(a):
     return a & _MASK16, a >> np.uint32(16)
@@ -366,6 +371,12 @@ class XlaBackend:
             xm = jnp.moveaxis(x, 1 + gi, 1)  # [L, d_in, *rest]
             rest_shape = xm.shape[2:]
             xm = xm.reshape(L, d_in, -1)
+            if MAC_COUNTER is not None:
+                # exact base-MAC ledger for the profiling harness
+                # (scripts/profile_examples.py): L·d_out·d_in·R base MACs
+                # per group application; the MXU digit-plane path issues 16
+                # bf16 dots of this base count
+                MAC_COUNTER.append((L, d_in, d_out, int(xm.shape[-1])))
             if mxu and d_in <= 256:
                 res = _axis_apply_mxu(xm, Wp, q3, r16_3, r16s_3, r32_3, r32s_3)
             else:

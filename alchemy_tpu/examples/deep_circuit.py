@@ -37,34 +37,76 @@ def expected_square_chain_mod2(msg: np.ndarray, n: int, depth: int) -> np.ndarra
     return cur
 
 
+def save_state(path: str, *, log_n: int, depth: int, level: int, ct,
+               s_int, msg, impl, ks: str) -> None:
+    """Mid-chain recovery checkpoint (SURVEY §5 failure/recovery): the
+    secret key coefficients, plaintext oracle input, current ciphertext and
+    chain position. Per-level hint randomness is NOT saved — hints are
+    regenerated per level and the resumed process reseeds from OS entropy
+    (the checkpoint-RNG rule of she/serialize.py)."""
+    np.savez(path, log_n=log_n, depth=depth, level=level,
+             ct=np.asarray(ct), s_int=np.asarray(s_int),
+             msg=np.asarray(msg), impl=str(impl or ""), ks=ks)
+
+
 def run(log_n: int = 9, depth: int = 16, seed: int = 0, verbose: bool = True,
-        impl: str | None = None, ks: str = "trivgad"):
+        impl: str | None = None, ks: str = "trivgad",
+        stop_at_level: int | None = None, state_path: str | None = None,
+        resume: bool = False):
     """Returns (ok, levels) — decrypt-correct after `depth` mul+relin+rescale
     levels. ks="hybrid" relinearizes with dnum-grouped hybrid key-switching
-    (she/hybrid.py) — the cheaper choice at this workload's deep chains."""
-    kwargs = {} if impl is None else {"impl": impl}
-    p = FastParams.make(log_n, depth + 2, zp=2, **kwargs)
-    if ks == "auto":
-        # measured crossover (BASELINE.md): hybrid wins from L ≳ 12
-        ks = "hybrid" if len(p.qs) >= 12 else "trivgad"
-    rng = np.random.default_rng(seed)
-    s_int = None
+    (she/hybrid.py) — the cheaper choice at this workload's deep chains.
 
-    from alchemy_tpu.she.keys import gaussian_coeffs
+    Recovery drill (VERDICT r4 missing #5): `stop_at_level`+`state_path`
+    checkpoints mid-chain and returns (None, level) WITHOUT finishing;
+    `resume=True` loads the state from `state_path` in a fresh process
+    (reseeding encryption/hint randomness from OS entropy) and completes
+    the remaining levels; the decrypt oracle then checks the FULL chain."""
     import jax.numpy as jnp
 
-    s_int = gaussian_coeffs(rng, 1.0, p.n)
+    from alchemy_tpu.she.keys import gaussian_coeffs
+
+    if resume:
+        st = np.load(state_path, allow_pickle=False)
+        log_n, depth = int(st["log_n"]), int(st["depth"])
+        level0 = int(st["level"])
+        impl = str(st["impl"]) or None
+        ks = str(st["ks"])
+        kwargs = {} if impl is None else {"impl": impl}
+        p = FastParams.make(log_n, depth + 2, zp=2, **kwargs)
+        s_int = st["s_int"]
+        msg = st["msg"]
+        ct = jnp.asarray(st["ct"])
+        rng = np.random.default_rng()   # OS entropy — never replay
+        cur_p = FastParams(n=p.n, qs=p.qs[:len(p.qs) - level0], zp=p.zp,
+                           impl=p.impl)
+    else:
+        kwargs = {} if impl is None else {"impl": impl}
+        p = FastParams.make(log_n, depth + 2, zp=2, **kwargs)
+        if ks == "auto":
+            # measured crossover (BASELINE.md): hybrid wins from L ≳ 12
+            ks = "hybrid" if len(p.qs) >= 12 else "trivgad"
+        rng = np.random.default_rng(seed)
+        s_int = gaussian_coeffs(rng, 1.0, p.n)
+        level0 = 0
 
     def key_at(pp):
         res = np.stack([s_int % q for q in pp.qs]).astype(np.uint32)
         return fast._ntt_p(pp, jnp.asarray(res))
 
-    s = key_at(p)
-    msg = rng.integers(0, 2, p.n)
-    ct = fast.encrypt(p, s, msg, rng)
+    if not resume:
+        s = key_at(p)
+        msg = rng.integers(0, 2, p.n)
+        ct = fast.encrypt(p, s, msg, rng)
+        cur_p = p
 
-    cur_p = p
-    for level in range(depth):
+    for level in range(level0, depth):
+        if stop_at_level is not None and level == stop_at_level:
+            save_state(state_path, log_n=log_n, depth=depth, level=level,
+                       ct=ct, s_int=s_int, msg=msg, impl=impl, ks=ks)
+            if verbose:
+                print(f"checkpointed at level {level} -> {state_path}")
+            return None, level
         if ks == "hybrid":
             from alchemy_tpu.she.hybrid import (
                 HybridKS, hybrid_relin_hint, mul_relin_hybrid)

