@@ -46,12 +46,16 @@ from alchemy_tpu.backend.xla import shoup_const
 from alchemy_tpu.backend.pallas.ntt_pallas import (
     _M16,
     _assemble_lo_hi,
+    _assemble_w0_m,
     _matmul_sums,
     _mod_matmul,
     _planes,
     _recombine_sums,
+    _recombine_sums_fast,
     _reduce_u32,
     _shoup,
+    _shoup_raw,
+    recombine_fast_ok,
 )
 
 U32 = jnp.uint32
@@ -69,6 +73,17 @@ _KB_CTMAJOR = os.environ.get("ALCHEMY_KB_CTMAJOR", "1") == "1"
 #: limb-group size for the ct-major stacked stage-1 dot (VMEM/width
 #: trade; measured on device)
 _KB_LG = int(os.environ.get("ALCHEMY_KB_LG", "2"))
+
+#: TIMING-ONLY ablations for the ct-major kernel's phase ledger
+#: (BASELINE.md floor accounting): "none" (default, bit-exact), "nohint"
+#: (skip the hint Shoup products), "notw" (skip the twiddle multiplies),
+#: "norecomb3" (skip the stage-3 plane recombination). Non-"none" values
+#: produce WRONG results — scripts/profile_kb_phases.py only.
+_KB_ABLATE = os.environ.get("ALCHEMY_KB_ABLATE", "none")
+
+#: software-pipeline the ct-major limb groups: issue group g+1's stacked
+#: stage-1 MXU dots before group g's VPU phase (measured experiment)
+_KB_PIPE = os.environ.get("ALCHEMY_KB_PIPE", "0") == "1"
 
 
 def _mulmod_gen(a, b, q, r16, r16s, r32, r32s):
@@ -177,17 +192,17 @@ def _pallas3_tables(n: int, qs: tuple[int, ...]):
             bd_f.append(_sp(bdf, q))
         w2if_bd = bf16(np.stack(bd_i))
         w2f_bd = bf16(np.stack(bd_f))
-    # T32 = (2^32·T) mod q with companions: the ct-major kernel twiddles the
-    # UNREDUCED (lo, hi) stage-1 pair (value = lo + 2^32·hi) directly —
-    # tw = shoup(lo, T) ⊕ shoup(hi, T32) — skipping the mod-q
+    # T16 = (2^16·T) mod q with companions: the ct-major kernel twiddles
+    # the UNREDUCED byte-serial stage-1 pair (value = w0 + 2^16·m) directly
+    # — tw = shoup(w0, T) ⊕ shoup(m, T16) — skipping the mod-q
     # canonicalization between stage 1 and the twiddle (Shoup is exact for
     # any u32 input when the multiplier is the precomputed constant)
     Tv = t["T"][0].astype(np.int64)                      # [L, A, Br]
     qs_col = np.array(qs, dtype=np.int64)[:, None, None]
-    t32v = (Tv << 32) % qs_col
-    t32s = np.empty_like(t32v)
+    t16v = (Tv << 16) % qs_col
+    t16s = np.empty_like(t16v)
     for li, q in enumerate(qs):
-        t32s[li] = (t32v[li].astype(object) << 32) // q
+        t16s[li] = (t16v[li].astype(object) << 32) // q
     # stacked stage-1 forward planes [4, 4, L·A, A]: ONE left dot covers a
     # whole limb group (the ct-major kernel slices row blocks) — fewer,
     # wider MXU issues than per-limb [A, A] dots
@@ -203,14 +218,14 @@ def _pallas3_tables(n: int, qs: tuple[int, ...]):
         "w2if_bd": w2if_bd,          # [L, 4, 4, Br, Br] or None (r = 4)
         "w2f_bd": w2f_bd,
         "T": t["T"][0], "T_s": t["T"][1],
-        "T32": t32v.astype(np.uint32), "T32_s": t32s.astype(np.uint32),
+        "T16": t16v.astype(np.uint32), "T16_s": t16s.astype(np.uint32),
         "Ti": t["Ti"][0], "Ti_s": t["Ti"][1],
     }
 
 
-def _tensor_intt_kernel(scalars_ref, a0_ref, a1_ref, b0_ref, b1_ref,
+def _tensor_intt_kernel(scalars_ref, ca_ref, cb_ref,
                         *rest_refs, r: int, B: int, bt: int, nlimb: int,
-                        use_bd: bool = False):
+                        use_bd: bool = False, fast_rec: bool = False):
     """Per-limb tensor product (c0, c1) and 3-factor iNTT(c2).
 
     The kernel is MXU-ISSUE-bound, not MAC-bound (measured: it dominated
@@ -241,8 +256,10 @@ def _tensor_intt_kernel(scalars_ref, a0_ref, a1_ref, b0_ref, b1_ref,
     mm = lambda x, y: _mulmod_gen(x, y, q, r16, r16s, r32, r32s)
     c2_all = []
     for b_i in range(bt):
-        a0, a1 = a0_ref[b_i, 0], a1_ref[b_i, 0]
-        b0, b1 = b0_ref[b_i, 0], b1_ref[b_i, 0]
+        # cts enter in the caller's [Bt, 2, L, A, Br] layout directly (no
+        # XLA slice/reshape copies between the jit boundary and the kernel)
+        a0, a1 = ca_ref[b_i, 0, 0], ca_ref[b_i, 1, 0]
+        b0, b1 = cb_ref[b_i, 0, 0], cb_ref[b_i, 1, 0]
         c0 = mm(a0, b0)
         c2 = mm(a1, b1)
         cross = mm(_addmod(a0, a1, q), _addmod(b0, b1, q))
@@ -250,11 +267,18 @@ def _tensor_intt_kernel(scalars_ref, a0_ref, a1_ref, b0_ref, b1_ref,
         c0_ref[b_i, 0] = c0
         c1_ref[b_i, 0] = c1
         c2_all.append(c2)
+    def _rec(sums, canonical):
+        if fast_rec:
+            return _recombine_sums_fast(sums, q, r16, r16s,
+                                        canonical=canonical)
+        return _recombine_sums(sums, q, r16, r16s, r32, r32s)
+
     if use_bd:
         # undo stage 3: ONE [Bt·A, Br] @ [Br, Br] block-diagonal dot
         X = jnp.concatenate(c2_all, axis=0) if bt > 1 else c2_all[0]
-        Z = _mod_matmul(_planes(X), w2[0], q, r16, r16s, r32, r32s,
-                        left=False)
+        # canonical: the radix-r butterfly's add/sub arithmetic needs
+        # bounded operands
+        Z = _rec(_matmul_sums(_planes(X), w2[0], left=False), True)
         blocks = [Z[:, k3 * B:(k3 + 1) * B] for k3 in range(r)]
     else:
         # one [Bt·A, B] @ [B, B] dot per k3 (batch along rows)
@@ -263,8 +287,8 @@ def _tensor_intt_kernel(scalars_ref, a0_ref, a1_ref, b0_ref, b1_ref,
             X = jnp.concatenate(
                 [c2_all[b][:, k3 * B:(k3 + 1) * B] for b in range(bt)],
                 axis=0) if bt > 1 else c2_all[0][:, k3 * B:(k3 + 1) * B]
-            blocks.append(_mod_matmul(_planes(X), w2[k3],
-                                      q, r16, r16s, r32, r32s, left=False))
+            blocks.append(
+                _rec(_matmul_sums(_planes(X), w2[k3], left=False), True))
     # undo DFT_r (r = 2: plain sum/difference; r = 4: i⁻¹ butterfly)
     if r == 2:
         blocks = [_addmod(blocks[0], blocks[1], q),
@@ -281,14 +305,15 @@ def _tensor_intt_kernel(scalars_ref, a0_ref, a1_ref, b0_ref, b1_ref,
             for j3 in range(r)
         ], axis=1) if r > 1 else _shoup(
             blocks[0][b_i * A:(b_i + 1) * A, :], ti_ref[0], ti_s_ref[0], q)
-        z = _mod_matmul(_planes(y_cat), w1i, q, r16, r16s, r32, r32s,
-                        left=True)
+        # canonical: c2c IS the gadget digit value (integer semantics)
+        z = _rec(_matmul_sums(_planes(y_cat), w1i, left=True), True)
         c2c_ref[b_i, :, pl.ds(l * (r * B), r * B)] = z
 
 
 def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref, w1_ref,
                         t_ref, t_s_ref, *rest_refs, dc: int, r: int, B: int,
-                        bt: int, shoup: bool = False):
+                        bt: int, shoup: bool = False,
+                        fast_rec: bool = False):
     """Forward digit NTTs + hint inner product, grid (output limb l, digit
     chunk c): VMEM per step holds only dc digit columns and dc hint rows —
     independent of the chain length L, so deep chains (L=16) fit the 16 MB
@@ -345,8 +370,12 @@ def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref, w1_ref,
     # Mosaic already overlaps from dependencies, and the extra live f32
     # sums cost VMEM. Kept simple.)
     for b_i in range(bt):
-        y = _mod_matmul(_planes(c2c_ref[b_i]), w1,
-                        q, r16, r16s, r32, r32s, left=True)   # [A, dc·Br]
+        s1 = _matmul_sums(_planes(c2c_ref[b_i]), w1, left=True)
+        if fast_rec:
+            # unreduced is fine: the consumer is the big-twiddle Shoup
+            y = _recombine_sums_fast(s1, q, r16, r16s)        # [A, dc·Br]
+        else:
+            y = _recombine_sums(s1, q, r16, r16s, r32, r32s)
         for di in range(dc):
             yd = _shoup(y[:, di * Br:(di + 1) * Br], t_ref[0], t_s_ref[0], q)
             if r == 2:
@@ -371,11 +400,16 @@ def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref, w1_ref,
             ]
         for k3 in range(r):
             # stage 3 for the chunk's digits at once: one [dc·A, B] @ [B, B]
-            if _KB_OVERLAP:
-                z = _recombine_sums(all_sums[k3], q, r16, r16s, r32, r32s)
+            s3 = (all_sums[k3] if _KB_OVERLAP else
+                  _matmul_sums(_planes(scr_refs[k3][...]), w2f[k3],
+                               left=False))
+            if fast_rec:
+                # shoup hint products take any u32; the raw-hint general
+                # modmul needs canonical operands
+                z = _recombine_sums_fast(s3, q, r16, r16s,
+                                         canonical=not shoup)
             else:
-                z = _mod_matmul(_planes(scr_refs[k3][...]), w2f[k3],
-                                q, r16, r16s, r32, r32s, left=False)
+                z = _recombine_sums(s3, q, r16, r16s, r32, r32s)
             o0 = out_ref[0, b_i, 0, :, k3 * B:(k3 + 1) * B]
             o1 = out_ref[1, b_i, 0, :, k3 * B:(k3 + 1) * B]
             for di in range(dc):
@@ -397,7 +431,7 @@ def _digit_relin_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref, w1_ref,
 
 
 def _digit_relin_ctmajor_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref,
-                                w1s_ref, t_ref, t_s_ref, t32_ref, t32s_ref,
+                                w1s_ref, t_ref, t_s_ref, t16_ref, t16s_ref,
                                 *rest_refs, r: int, B: int, L: int, lg: int):
     """Ct-major variant of kernel B: grid over ciphertexts, limbs unrolled
     inside — the VPU-cutting restructure (VERDICT r4 #1). Three levers vs
@@ -428,33 +462,56 @@ def _digit_relin_ctmajor_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref,
     x = c2c_ref[0]                       # [A, L·Br]
     A = x.shape[0]
     xpl = _planes(x)                     # once per ct (limb-independent)
-    for g in range(0, L, lg):
+
+    def stage1_sums(g):
         nl = min(lg, L - g)
         Wg = [[w1s_ref[0, d, f, pl.ds(g * A, nl * A), :] for f in range(4)]
               for d in range(4)]
-        sums = _matmul_sums(xpl, Wg, left=True)    # 4 × [nl·A, L·Br]
-        lo, hi = _assemble_lo_hi(sums)
+        return _matmul_sums(xpl, Wg, left=True)    # 4 × [nl·A, L·Br]
+
+    sums_next = stage1_sums(0) if _KB_PIPE else None
+    for g in range(0, L, lg):
+        nl = min(lg, L - g)
+        if _KB_PIPE:
+            sums = sums_next
+            if g + lg < L:
+                # issue the NEXT group's MXU dots before this group's VPU
+                # phase (cross-group software pipeline)
+                sums_next = stage1_sums(g + lg)
+        else:
+            sums = stage1_sums(g)
+        # byte-serial exact assembly: value = w0 + 2^16·m (no carry chain)
+        w0g, mg = _assemble_w0_m(sums)
         for j in range(nl):
             l = g + j
             q = scalars_ref[l, 0]
             r16 = scalars_ref[l, 1]
             r16s = scalars_ref[l, 2]
-            r32 = scalars_ref[l, 3]
-            r32s = scalars_ref[l, 4]
-            lo_l = lo[j * A:(j + 1) * A, :]
-            hi_l = hi[j * A:(j + 1) * A, :]
+            w0_l = w0g[j * A:(j + 1) * A, :]
+            m_l = mg[j * A:(j + 1) * A, :]
             tv, ts = t_ref[l], t_s_ref[l]
-            t32v, t32s = t32_ref[l], t32s_ref[l]
+            t16v, t16s = t16_ref[l], t16s_ref[l]
+            two_q = q + q
             blocks_k3 = [[] for _ in range(r)]
             for di in range(L):
                 sl = slice(di * Br, (di + 1) * Br)
-                # unreduced twiddle: value·T ≡ lo·T + hi·(2^32·T)  (mod q)
-                tw = _addmod(_shoup(lo_l[:, sl], tv, ts, q),
-                             _shoup(hi_l[:, sl], t32v, t32s, q), q)
+                # unreduced twiddle: value·T ≡ w0·T + m·(2^16·T)  (mod q);
+                # raw + raw ∈ [0, 4q), one 2q-subtract bounds it for the
+                # lazy butterfly, whose outputs feed the stage-3
+                # digit-plane dots — those reduce ANY u32 exactly, so
+                # nothing on this path canonicalizes
+                if _KB_ABLATE == "notw":
+                    tw = m_l[:, sl]
+                else:
+                    t_raw = (_shoup_raw(w0_l[:, sl], tv, ts, q)
+                             + _shoup_raw(m_l[:, sl], t16v, t16s, q))
+                    tw = jnp.where(t_raw >= two_q, t_raw - two_q, t_raw)
                 if r == 2:
                     b_lo, b_hi = tw[:, :B], tw[:, B:]
-                    bs = [_addmod(b_lo, b_hi, q), _submod(b_lo, b_hi, q)]
+                    bs = [b_lo + b_hi, b_lo + two_q - b_hi]   # < 4q, exact
                 elif r == 4:
+                    # the dft4 mulmod needs canonical operands
+                    tw = jnp.where(tw >= q, tw - q, tw)
                     bs = _dft4([tw[:, k * B:(k + 1) * B] for k in range(4)],
                                scalars_ref[l, 5], scalars_ref[l, 6], q)
                 else:
@@ -468,19 +525,35 @@ def _digit_relin_ctmajor_kernel(scalars_ref, c2c_ref, c0_ref, c1_ref,
             for k3 in range(r):
                 zin = (jnp.concatenate(blocks_k3[k3], axis=0)
                        if L > 1 else blocks_k3[k3][0])      # [L·A, B]
-                z = _mod_matmul(_planes(zin), w2f[k3],
-                                q, r16, r16s, r32, r32s, left=False)
+                s3 = _matmul_sums(_planes(zin), w2f[k3], left=False)
+                if _KB_ABLATE == "norecomb3":
+                    z = s3[0]
+                else:
+                    # congruent-unreduced is fine: the only consumer is the
+                    # hint Shoup product, exact for any u32
+                    z = _recombine_sums_fast(s3, q, r16, r16s)
                 ks = slice(k3 * B, (k3 + 1) * B)
+                # lazy accumulation: raw Shoup products in [0, 2q), one
+                # 2q-subtract per add keeps the invariant, one final
+                # q-subtract canonicalizes (outputs stay bit-identical)
                 o0 = c0_ref[0, l][:, ks]
                 o1 = c1_ref[0, l][:, ks]
                 for di in range(L):
                     zd = z[di * A:(di + 1) * A, :]
-                    o0 = _addmod(o0, _shoup(zd, hb_ref[di, l][:, ks],
-                                            hbs_ref[di, l][:, ks], q), q)
-                    o1 = _addmod(o1, _shoup(zd, ha_ref[di, l][:, ks],
-                                            has_ref[di, l][:, ks], q), q)
+                    if _KB_ABLATE == "nohint":
+                        o0 = _addmod(o0, zd, q)
+                        o1 = _addmod(o1, zd, q)
+                    else:
+                        o0 = o0 + _shoup_raw(zd, hb_ref[di, l][:, ks],
+                                             hbs_ref[di, l][:, ks], q)
+                        o0 = jnp.where(o0 >= two_q, o0 - two_q, o0)
+                        o1 = o1 + _shoup_raw(zd, ha_ref[di, l][:, ks],
+                                             has_ref[di, l][:, ks], q)
+                        o1 = jnp.where(o1 >= two_q, o1 - two_q, o1)
+                o0 = jnp.where(o0 >= q, o0 - q, o0)
+                o1 = jnp.where(o1 >= q, o1 - q, o1)
                 out_ref[0, 0, l, :, ks] = o0
-                out_ref[1, 0, l, :, ks] = o1
+                out_ref[0, 1, l, :, ks] = o1
 
 
 def _limb_spec(shape):
@@ -546,10 +619,13 @@ def _tensor_intt_call(p, ct_a, ct_b):
     Br = B * r
     Bt = ct_a.shape[0]
     g = (Bt, L, A, Br)
-    a0 = ct_a[:, 0].reshape(g)
-    a1 = ct_a[:, 1].reshape(g)
-    b0 = ct_b[:, 0].reshape(g)
-    b1 = ct_b[:, 1].reshape(g)
+    # contiguity-preserving reshapes only — the kernel slices components
+    # itself, so XLA inserts no slice/copy fusions on the inputs
+    ca = ct_a.reshape(Bt, 2, L, A, Br)
+    cb = ct_b.reshape(Bt, 2, L, A, Br)
+    ct_spec = pl.BlockSpec((Bt, 2, 1, A, Br),
+                           lambda l: (0, 0, l, 0, 0),
+                           memory_space=pltpu.VMEM)
     smem = pl.BlockSpec((L, 9), lambda l: (0, 0), memory_space=pltpu.SMEM)
 
     use_bd = t["w2if_bd"] is not None
@@ -561,14 +637,13 @@ def _tensor_intt_call(p, ct_a, ct_b):
         w2_specs = [_limb_spec((4, 4, B, B)) for _ in range(r)]
     return pl.pallas_call(
         partial(_tensor_intt_kernel, r=r, B=B, bt=Bt, nlimb=L,
-                use_bd=use_bd),
+                use_bd=use_bd, fast_rec=recombine_fast_ok(qs)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(100 << 20) if Bt > 4 else None),
         grid=(L,),
         in_specs=[
             smem,
-            _batch_spec(Bt, (A, Br)), _batch_spec(Bt, (A, Br)),
-            _batch_spec(Bt, (A, Br)), _batch_spec(Bt, (A, Br)),
+            ct_spec, ct_spec,
             *w2_specs,
             _limb_spec((A, Br)), _limb_spec((A, Br)),
             _limb_spec((4, 4, A, A)),
@@ -582,7 +657,7 @@ def _tensor_intt_call(p, ct_a, ct_b):
             jax.ShapeDtypeStruct(g, jnp.uint32),
             jax.ShapeDtypeStruct((Bt, A, L * Br), jnp.uint32),
         ],
-    )(t["scal"], a0, a1, b0, b1, *w2_tabs, t["Ti"], t["Ti_s"], t["w1i"])
+    )(t["scal"], ca, cb, *w2_tabs, t["Ti"], t["Ti_s"], t["w1i"])
 
 
 def _limb_spec2(shape):
@@ -623,13 +698,15 @@ def _mul_relin_ctmajor(p, t, c0, c1, c2c, hint_b, hint_a):
             *[const((L, 4, 4, B, B)) for _ in range(r)],
             *[const((L, L, A, Br)) for _ in hints],
         ],
-        out_specs=pl.BlockSpec((2, 1, L, A, Br),
-                               lambda b: (0, b, 0, 0, 0),
+        # output directly in the caller's [Bt, 2, L, n] layout — no
+        # moveaxis copy after the kernel
+        out_specs=pl.BlockSpec((1, 2, L, A, Br),
+                               lambda b: (b, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, Bt, L, A, Br), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((Bt, 2, L, A, Br), jnp.uint32),
     )(t["scal"], c2c, c0, c1, t["w1s"][None], t["T"], t["T_s"],
-      t["T32"], t["T32_s"], *t["w2f"], *hints)
-    return jnp.moveaxis(out.reshape(2, Bt, L, n), 0, 1)
+      t["T16"], t["T16_s"], *t["w2f"], *hints)
+    return out.reshape(Bt, 2, L, n)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -652,7 +729,7 @@ def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
     # Shoup hints that fit VMEM)
     hint_mb = 16 * L * L * n / (1 << 20)   # 4 u32 streams
     if (_KB_CTMAJOR and shoup_hints and L * Br <= 2048
-            and hint_mb <= 40.0):
+            and hint_mb <= 40.0 and recombine_fast_ok(qs)):
         return _mul_relin_ctmajor(p, t, c0, c1, c2c, hint_b, hint_a)
 
     # digit-chunked grid: dc digits per step (≤ 2048 lanes for the stage-1
@@ -693,7 +770,7 @@ def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         partial(_digit_relin_kernel, dc=dc, r=r, B=B, bt=Bt,
-                shoup=shoup_hints),
+                shoup=shoup_hints, fast_rec=recombine_fast_ok(qs)),
         # the 16 MB scoped-VMEM default rejects the 4 double-buffered hint
         # streams of the shoup path at Bt=4 (18.7 MB measured); v5e has
         # VMEM headroom beyond the default — raise the cap for this kernel
@@ -724,7 +801,7 @@ def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
 def _hybrid_digit_relin_kernel(scalars_ref, extw_ref, extws_ref, x_ref,
                                w1_ref, t_ref, t_s_ref, *rest_refs,
                                gidx: tuple, r: int, B: int, bt: int,
-                               shoup: bool = False):
+                               shoup: bool = False, fast_rec: bool = False):
     """Per-extended-limb forward NTTs of the dnum hybrid digits + hint inner
     product (she/hybrid.py dataflow). Hybrid digits are limb-DEPENDENT
     (D_j < Q_j overflows u32), so the unreduced-digit trick of
@@ -772,9 +849,13 @@ def _hybrid_digit_relin_kernel(scalars_ref, extw_ref, extws_ref, x_ref,
         dchunk = max(1, 2048 // Br)
         for d0 in range(0, ndig, dchunk):
             dc = min(dchunk, ndig - d0)
-            y = _mod_matmul(
-                _planes(ext_scr[:, d0 * Br:(d0 + dc) * Br]), w1,
-                q, r16, r16s, r32, r32s, left=True)
+            s1h = _matmul_sums(
+                _planes(ext_scr[:, d0 * Br:(d0 + dc) * Br]), w1, left=True)
+            if fast_rec:
+                # unreduced: the consumer is the big-twiddle Shoup
+                y = _recombine_sums_fast(s1h, q, r16, r16s)
+            else:
+                y = _recombine_sums(s1h, q, r16, r16s, r32, r32s)
             for di in range(dc):
                 d = d0 + di
                 yd = _shoup(y[:, di * Br:(di + 1) * Br], t_ref[0], t_s_ref[0],
@@ -793,8 +874,15 @@ def _hybrid_digit_relin_kernel(scalars_ref, extw_ref, extws_ref, x_ref,
         out0 = [jnp.zeros((A, B), U32) for _ in range(r)]
         out1 = [jnp.zeros((A, B), U32) for _ in range(r)]
         for k3 in range(r):
-            z = _mod_matmul(_planes(scr_refs[k3][...]), w2f[k3],
-                            q, r16, r16s, r32, r32s, left=False)
+            s3h = _matmul_sums(_planes(scr_refs[k3][...]), w2f[k3],
+                               left=False)
+            if fast_rec:
+                # shoup hint products take any u32; the raw-hint general
+                # modmul needs canonical operands
+                z = _recombine_sums_fast(s3h, q, r16, r16s,
+                                         canonical=not shoup)
+            else:
+                z = _recombine_sums(s3h, q, r16, r16s, r32, r32s)
             for d in range(ndig):
                 zd = z[d * A:(d + 1) * A, :]
                 hb = hb_ref[d, 0][:, k3 * B:(k3 + 1) * B]
@@ -869,7 +957,7 @@ def hybrid_digit_stage_pallas(n: int, ext_qs: tuple[int, ...],
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         partial(_hybrid_digit_relin_kernel, gidx=tuple(gidx), r=r, B=B,
-                bt=Bt, shoup=shoup_hints),
+                bt=Bt, shoup=shoup_hints, fast_rec=recombine_fast_ok(ext_qs)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(100 << 20) if shoup_hints else None),
         grid=(T,),

@@ -271,7 +271,7 @@ def sweep(log_n: int = 12, nlimb: int = 4, batch: int = 2, iters: int = 20):
     # threshold: points list both the serialized lower bound and the
     # digit-pipelined bound (the L digit chains are dataflow-independent).
     full_pts = []
-    t1_op = 278.5   # us/ct, n=2^15 L=8 fused Mosaic, round-5 measured
+    t1_op = 223.7   # us/ct, n=2^15 L=8 fused Mosaic, round-5 measured
     for bw in (50.0, 100.0, 200.0):
         for c, ls in ((2, 1), (4, 1), (8, 1), (4, 2), (2, 2)):
             for b in (1, 4, 16):
