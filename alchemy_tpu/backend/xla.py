@@ -148,19 +148,58 @@ def _axis_apply_mxu(xm, Wp, q, r16, r16s, r32, r32s):
 
     xm [L, d_in, R] u32; Wp [L, 4, 4, d_out, d_in] scaled bf16 planes
     (V_{d,f} of 2^(8d)·W mod q — ntt_mxu.scaled_planes); consts [L,1,1].
-    The four plane sums assemble into an exact (lo, hi) pair reduced once."""
+
+    Round-5 (same tricks as the Pallas kernels, bit-identical canonical
+    outputs): adjacent input planes PAIR along the contraction when
+    d_in ≤ 128 (8 einsums of 2K, exact since 255·255·2K < 2^24), and for
+    q < 2^30 the plane sums assemble BYTE-SERIALLY into value = w0 +
+    2^16·m (the scaled weights' top byte < 64 bounds every intermediate)
+    so one Shoup multiply + two conditional subtracts replace the
+    carry-chain + reduce + Shoup + cond-sub recombination — the dominant
+    compare/select fusions of the example workloads' profile
+    (EXAMPLES_r05.json)."""
+    K = xm.shape[1]
+    fast = isinstance(q, np.ndarray) and bool((q < (1 << 30)).all()) \
+        and K <= 256
     xp = [
         ((xm >> np.uint32(8 * d)) & np.uint32(0xFF)).astype(jnp.bfloat16)
         for d in range(4)
     ]
     sums = [None] * 4
-    for d in range(4):
-        for f in range(4):
-            prod = jnp.einsum(
-                "lkr,lak->lar", xp[d], Wp[:, d, f],
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.uint32)
-            sums[f] = prod if sums[f] is None else sums[f] + prod
+    if K <= 128:
+        xpairs = [jnp.concatenate([xp[0], xp[1]], axis=1),
+                  jnp.concatenate([xp[2], xp[3]], axis=1)]
+        for pi, (d0, d1) in enumerate(((0, 1), (2, 3))):
+            for f in range(4):
+                # jnp concat: Wp is host numpy at trace time but a device
+                # array on the eager path — never force a host readback
+                Wcat = jnp.concatenate([Wp[:, d0, f], Wp[:, d1, f]], axis=-1)
+                prod = jnp.einsum(
+                    "lkr,lak->lar", xpairs[pi], Wcat,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.uint32)
+                sums[f] = prod if sums[f] is None else sums[f] + prod
+    else:
+        for d in range(4):
+            for f in range(4):
+                prod = jnp.einsum(
+                    "lkr,lak->lar", xp[d], Wp[:, d, f],
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.uint32)
+                sums[f] = prod if sums[f] is None else sums[f] + prod
+    if fast:
+        s0, s1, s2, s3 = sums
+        b0 = s0 & np.uint32(0xFF)
+        u = (s0 >> np.uint32(8)) + s1
+        b1 = u & np.uint32(0xFF)
+        v = (u >> np.uint32(8)) + s2
+        b2 = v & np.uint32(0xFF)
+        w = (v >> np.uint32(8)) + s3        # < 2^24 (K ≤ 256, q < 2^30)
+        w0 = b0 + (b1 << np.uint32(8))      # value = w0 + 2^16·m
+        m = b2 + (w << np.uint32(8))
+        # mulmod_shoup canonicalizes, so out < q + 2^16: one cond-sub
+        out = mulmod_shoup(m, r16, r16s, q) + w0
+        return _cond_sub(out, q)
     lo = sums[0]
     hi = jnp.zeros_like(lo)
     for f in (1, 2, 3):

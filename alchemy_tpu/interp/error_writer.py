@@ -120,13 +120,26 @@ def write_error_rates(expr: Node, ctx: KeysHints, strict: bool = False) -> Node:
 def resolve_log(log, strict: bool = False) -> list:
     """Resolve any DeferredRate entries (device-probe digit vectors produced
     under a jit trace, she/noise_probe.py) to floats, applying the strict
-    overflow check that eager probes perform inline."""
-    from alchemy_tpu.she.noise_probe import DeferredRate
+    overflow check that eager probes perform inline.
 
+    All deferred digit vectors are fetched in ONE device→host transfer
+    (jax.device_get of the list): per-entry np.asarray readbacks cost a
+    relay round-trip each (~25 ms under load), which at ~10 probed ops
+    dominated the probed run's wall time."""
+    import jax
+
+    from alchemy_tpu.she.noise_probe import DeferredRate, rate_from_digits
+
+    deferred = [(i, r) for i, (_, r) in enumerate(log)
+                if isinstance(r, DeferredRate)]
+    fetched = jax.device_get([r.digits for _, r in deferred]) \
+        if deferred else []
+    resolved = {i: rate_from_digits(d, r.qs)
+                for (i, r), d in zip(deferred, fetched)}
     out = []
-    for label, rate in log:
-        if isinstance(rate, DeferredRate):
-            rate = rate.resolve()
+    for i, (label, rate) in enumerate(log):
+        if i in resolved:
+            rate = resolved[i]
             if strict and rate > NOISE_OVERFLOW_THRESHOLD:
                 raise NoiseOverflowError(
                     f"{label}: error rate {rate:.3g} exceeds "

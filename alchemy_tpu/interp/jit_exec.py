@@ -124,6 +124,34 @@ def _auto_sharding(arr, mesh, warn: bool = True):
 #: semantics so stale artifacts never replay
 _AOT_CACHE_VERSION = 1
 
+_SRC_FINGERPRINT: str | None = None
+
+
+def _src_fingerprint() -> str:
+    """Hash of every alchemy_tpu source file: the AOT digest must change
+    whenever the traced evaluator's CODE changes (a semantically identical
+    but faster lowering would otherwise replay the stale artifact and
+    silently undo the improvement)."""
+    global _SRC_FINGERPRINT
+    if _SRC_FINGERPRINT is None:
+        import hashlib
+        import os as _os
+
+        import alchemy_tpu
+
+        h = hashlib.sha256()
+        root = _os.path.dirname(alchemy_tpu.__file__)
+        for dirpath, dirnames, filenames in sorted(_os.walk(root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    path = _os.path.join(dirpath, fn)
+                    h.update(fn.encode())
+                    with open(path, "rb") as f:
+                        h.update(f.read())
+        _SRC_FINGERPRINT = h.hexdigest()
+    return _SRC_FINGERPRINT
+
 
 def _payload_sig(payload, h):
     """Feed a stable signature of a prim payload into the hash: Cyc arrays
@@ -296,9 +324,9 @@ class JitCompiled:
 
         h = hashlib.sha256()
         h.update(repr((
-            _AOT_CACHE_VERSION, jax.__version__, jax.default_backend(),
-            self.arg_meta, self._limb_div, self.probe_strict,
-            self.probe_ctx is not None,
+            _AOT_CACHE_VERSION, _src_fingerprint(), jax.__version__,
+            jax.default_backend(), self.arg_meta, self._limb_div,
+            self.probe_strict, self.probe_ctx is not None,
         )).encode())
 
         def walk(n):

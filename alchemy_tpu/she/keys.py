@@ -47,8 +47,16 @@ class SK:
     def as_cyc(self, qs: tuple[int, ...], bk) -> Cyc:
         key = (qs, bk.name)
         if key not in self._cache:
-            self._cache[key] = Cyc.from_coeffs(self.m, qs,
+            c = Cyc.from_coeffs(self.m, qs,
                 np.stack([self.coeffs % q for q in qs]), bk)
+            # never memoize a value created INSIDE a jit trace (the device
+            # probe builds key Cycs under trace — a cached tracer would
+            # escape into later eager uses, e.g. decrypt; CLAUDE.md rule)
+            import jax
+
+            if isinstance(c.data, jax.core.Tracer):
+                return c
+            self._cache[key] = c
         return self._cache[key]
 
     def error(self, qs: tuple[int, ...], rng: np.random.Generator, bk) -> tuple[Cyc, np.ndarray]:

@@ -94,9 +94,12 @@ def profile_one(name, build, iters):
     from alchemy_tpu.backend import xla as xla_mod
     from profile_trace import profile_step
 
-    jfn, args = build()
-    # exact MAC ledger: count during the first (tracing) call
+    # exact MAC ledger: the evaluator traces inside jit_compile (and the
+    # AOT cache would skip tracing entirely) — enable counting around the
+    # BUILD and force a real trace
+    os.environ["ALCHEMY_AOT_CACHE"] = "0"
     xla_mod.MAC_COUNTER = []
+    jfn, args = build()
     t0 = time.perf_counter()
     out = jfn(*args)
     for c in out.comps:
