@@ -206,9 +206,29 @@ def _planes8_runtime(x):
     return x8, bsum
 
 
-def _recombine_planes(sums, t):
+def _recombine_planes(sums, t, fast_ok: bool = False):
     """Σ_f S_f·2^(8f) < 2^51 assembled exactly as (lo, hi) u32, one mod-q
-    reduction (shared tail of _matmul_mod / the int8 variants)."""
+    reduction (shared tail of _matmul_mod / the int8 variants).
+
+    fast_ok=True (the unsigned bf16-plane paths only, NOT int8) enables
+    the byte-serial assembly for q < 2^30: the scaled weights' top byte is
+    < 64, bounding every byte-carry intermediate in u32 for contraction
+    K ≤ 256, so one Shoup multiply + one conditional subtract replace the
+    compare/select carry chain (see pallas/ntt_pallas._recombine_sums_fast
+    for the bound derivation). Bit-identical canonical outputs."""
+    q = t["q"]
+    if (fast_ok and isinstance(q, np.ndarray)
+            and bool((q < (1 << 30)).all())):
+        s0, s1, s2, s3 = sums
+        b0 = s0 & np.uint32(0xFF)
+        u = (s0 >> np.uint32(8)) + s1
+        b1 = u & np.uint32(0xFF)
+        v = (u >> np.uint32(8)) + s2
+        b2 = v & np.uint32(0xFF)
+        w = (v >> np.uint32(8)) + s3
+        w0 = b0 + (b1 << np.uint32(8))
+        m = b2 + (w << np.uint32(8))
+        return _cond_sub(mulmod_shoup(m, t["r16"], t["r16s"], q) + w0, q)
     lo = sums[0]
     hi = jnp.zeros_like(lo)
     for f in (1, 2, 3):
@@ -270,6 +290,21 @@ def _matmul_mod(x, Wp, t):
     xp = _digit_planes_runtime(x)
     Wb = Wp.astype(jnp.bfloat16)
     sums = [None] * 4
+    if x.shape[-1] <= 128:
+        # pair adjacent operand planes along the contraction: 8 einsums of
+        # 2K instead of 16 of K, exact (255·255·2K < 2^24) and
+        # bit-identical (the paired dot equals the u32 sum of the two)
+        xpairs = [jnp.concatenate([xp[0], xp[1]], axis=-1),
+                  jnp.concatenate([xp[2], xp[3]], axis=-1)]
+        for pi, (d0, d1) in enumerate(((0, 1), (2, 3))):
+            for f in range(4):
+                Wcat = jnp.concatenate([Wb[:, d0, f], Wb[:, d1, f]], axis=-1)
+                prod = jnp.einsum(
+                    "...lrk,lak->...lra", xpairs[pi], Wcat,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.uint32)
+                sums[f] = prod if sums[f] is None else sums[f] + prod
+        return _recombine_planes(sums, t, fast_ok=True)
     for d in range(4):
         for f in range(4):
             # einsum over K: [..., L, R, K] × [L, K_out, K] → [..., L, R, K_out]
@@ -279,7 +314,7 @@ def _matmul_mod(x, Wp, t):
             ).astype(jnp.uint32)
             sums[f] = prod if sums[f] is None else sums[f] + prod
     # V = Σ_f S_f·2^(8f) < 2^51: exact 64-bit accumulation in (lo, hi)
-    return _recombine_planes(sums, t)
+    return _recombine_planes(sums, t, fast_ok=True)
 
 
 def _mm(x, key, t, i8: bool):
@@ -322,7 +357,7 @@ def _matmul_mod_bcast(x, Wp, t):
                 preferred_element_type=jnp.float32,
             ).astype(jnp.uint32)
             sums[f] = prod if sums[f] is None else sums[f] + prod
-    return _recombine_planes(sums, t)
+    return _recombine_planes(sums, t, fast_ok=True)
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
