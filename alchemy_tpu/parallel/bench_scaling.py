@@ -226,18 +226,34 @@ def sweep(log_n: int = 12, nlimb: int = 4, batch: int = 2, iters: int = 20):
     out["weak_scaling"] = weak_sweep(log_n, nlimb, batch, iters=max(5, iters // 2))
 
     # (b) communication-cost isolation on this transport: full vs
-    # local-permutation (no collective) variant
+    # local-permutation (no collective) variant; plus the chunked
+    # OVERLAPPED transpose (ALCHEMY_DIST_OVERLAP=2) through the same
+    # harness — on the host-serialized virtual mesh no overlap gain is
+    # expected (there is no async transport), but the point demonstrates
+    # the chunked path runs the same workload bit-exactly at comparable
+    # cost; the overlap claim itself rests on the async-collective
+    # structure (nc independent exchange/compute chains, asserted on the
+    # lowering by test_dist_ntt_overlapped_transpose_bit_identical)
+    import os as _os
+
     comm = []
     for c in (2, 4, 8):
         if c > n_dev:
             continue
         full, local = measure_comm_split(log_n, nlimb, c, batch,
                                          max(5, iters // 2))
+        _os.environ["ALCHEMY_DIST_OVERLAP"] = "2"
+        try:
+            ov, _ = measure_dist_ntt(log_n, nlimb, c, batch,
+                                     max(5, iters // 2), "a2a")
+        finally:
+            del _os.environ["ALCHEMY_DIST_OVERLAP"]
         comm.append({
             "coeff_shards": c,
             "full_us": round(full * 1e6, 1),
             "local_only_us": round(local * 1e6, 1),
             "collective_us": round((full - local) * 1e6, 1),
+            "overlapped_chunks2_us": round(ov * 1e6, 1),
         })
     out["comm_split"] = comm
 

@@ -344,3 +344,53 @@ def test_pallas_mul_relin_ctmajor_r2_bit_identical(monkeypatch):
     assert np.array_equal(np.asarray(out_ct), np.asarray(out_lm))
     monkeypatch.setattr(mrk, "_KB_CTMAJOR", True)
     mrk._mul_relin_pallas_one.clear_cache()
+
+
+def test_fast_recombine_exact_at_bounds():
+    """Property-pin the round-5 fast recombination (_recombine_sums_fast /
+    _assemble_w0_m): for plane sums up to the WORST-CASE bounds of the
+    paired digit-plane dots (s_f ≤ 4·K·255·255 for f ≤ 2, s_3 ≤
+    4·K·255·63 — the scaled weights' top byte is < 64 for q < 2^30), the
+    byte-serial assembly w0 + 2^16·m equals Σ_f 2^(8f)·s_f exactly and
+    the canonical result matches the exact bigint residue, for K ∈
+    {128, 256} and random ~30-bit NTT-style primes. Includes the exact
+    extreme corner (all sums at their maxima)."""
+    from alchemy_tpu.backend.pallas.ntt_pallas import (
+        _assemble_w0_m,
+        _recombine_sums_fast,
+    )
+    from alchemy_tpu.backend.xla import shoup_const
+
+    rng = np.random.default_rng(12)
+    for K in (128, 256):
+        smax = 4 * K * 255 * 255
+        s3max = 4 * K * 255 * 63
+        qs = [((1 << 30) - rng.integers(1, 1 << 20)) | 1 for _ in range(3)]
+        qs.append((1 << 30) - 1)                      # extreme q
+        for q in map(int, qs):
+            r16 = (1 << 16) % q
+            r16s = shoup_const(r16, q)
+            cols = 64
+            s0 = rng.integers(0, smax + 1, cols).astype(np.uint64)
+            s1 = rng.integers(0, smax + 1, cols).astype(np.uint64)
+            s2 = rng.integers(0, smax + 1, cols).astype(np.uint64)
+            s3 = rng.integers(0, s3max + 1, cols).astype(np.uint64)
+            # corner: every sum at its max simultaneously
+            s0[0], s1[0], s2[0], s3[0] = smax, smax, smax, s3max
+            sums = [jnp.asarray(s.astype(np.uint32)) for s in (s0, s1, s2, s3)]
+            value = (s0.astype(object) + (s1.astype(object) << 8)
+                     + (s2.astype(object) << 16) + (s3.astype(object) << 24))
+            w0, m = _assemble_w0_m(sums)
+            w0n = np.asarray(w0).astype(object)
+            mn = np.asarray(m).astype(object)
+            assert all(w0n[i] + (mn[i] << 16) == value[i] for i in range(cols))
+            got = np.asarray(_recombine_sums_fast(
+                sums, np.uint32(q), np.uint32(r16), np.uint32(r16s),
+                canonical=True))
+            want = np.array([int(v) % q for v in value], dtype=np.uint32)
+            assert np.array_equal(got, want), (q, K)
+            # non-canonical: congruent mod q and strictly below 2q + 2^16
+            raw = np.asarray(_recombine_sums_fast(
+                sums, np.uint32(q), np.uint32(r16), np.uint32(r16s)))
+            assert np.all((raw.astype(np.int64) - want.astype(np.int64)) % q == 0)
+            assert int(raw.max()) < 2 * q + (1 << 16)
