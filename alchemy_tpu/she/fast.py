@@ -160,6 +160,29 @@ def shoup_precompute(arr, qs: tuple[int, ...]) -> tuple:
     return jnp.asarray(np.asarray(arr)), jnp.asarray(comp)
 
 
+def prep_pallas_hints(p: FastParams, hint_b, hint_a):
+    """Reshape hint arrays (raw or Shoup pairs) to the Mosaic kernel's grid
+    layout [L, L, A, B·r] OUTSIDE the hot jitted call.
+
+    Hints crossing the jit boundary in their [L, L, n] shape pay a tiled
+    relayout copy INSIDE the compiled program on every call (~34 MB ≈
+    42 µs/call at 2^15/L=8, measured in the optimized HLO); arrays already
+    shaped to the 4-D grid take the tiled device layout at the boundary
+    and the per-call copies vanish. The pallas and jnp paths both accept
+    either shape, bit-identically."""
+    from alchemy_tpu.backend.pallas.mul_relin_pallas import _pallas3_tables
+
+    t = _pallas3_tables(p.n, p.qs)
+    L, A, Br = len(p.qs), t["A"], t["B"] * t["r"]
+
+    def f(h):
+        if isinstance(h, (tuple, list)):
+            return tuple(jnp.asarray(x).reshape(L, L, A, Br) for x in h)
+        return jnp.asarray(h).reshape(L, L, A, Br)
+
+    return f(hint_b), f(hint_a)
+
+
 def relin_hint(p: FastParams, s_ntt, rng: np.random.Generator, variance: float = 1.0,
                shoup: bool = False):
     """CRT-gadget hint for s² under s: returns (B, A) each [L, L, n] in the
@@ -312,6 +335,14 @@ def mul_relin(p: FastParams, ct_a, ct_b, hint_b, hint_a):
 def _mul_relin_jnp(p: FastParams, ct_a, ct_b, hint_b, hint_a):
     qs = p.qs
     L = len(qs)
+
+    def _flat(h):
+        # accept kernel-grid-shaped hints (prep_pallas_hints) transparently
+        if isinstance(h, (tuple, list)):
+            return tuple(x.reshape(L, L, p.n) for x in h)
+        return h.reshape(L, L, p.n)
+
+    hint_b, hint_a = _flat(hint_b), _flat(hint_a)
     a0, a1 = ct_a[..., 0, :, :], ct_a[..., 1, :, :]
     b0, b1 = ct_b[..., 0, :, :], ct_b[..., 1, :, :]
     # Karatsuba: 3 general mulmods instead of 4 (integer multiplies are the

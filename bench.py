@@ -107,6 +107,10 @@ def bench_on(device, p, rng, min_seconds=1.0, batch: int = 1, chain: int = 1,
             # time 245 -> 205 us at 2^15/L=8) and the raised-VMEM batched
             # call amortizes kernel A (BASELINE.md round-4 ledger)
             hb, ha = fast.relin_hint(p, s, rng, shoup=True)
+            if p.impl == "pallas":
+                # grid-shaped hints cross the jit boundary without the
+                # per-call tiled relayout copies (fast.prep_pallas_hints)
+                hb, ha = fast.prep_pallas_hints(p, hb, ha)
             mul_fn = fast.mul_relin
         ct1 = fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
         ct2 = fast.encrypt(p, s, rng.integers(0, p.zp, p.n), rng)
