@@ -108,8 +108,15 @@ def main() -> None:
                  "log, under whole-program jit at full tower size"),
     }
     path = os.path.join(_ROOT, "ERW_r05.json")
+    # merge: the artifact holds one record per workload
+    merged = {}
+    if os.path.exists(path):
+        prev = json.load(open(path))
+        merged = prev if "workloads" in prev else {
+            "workloads": {prev.get("workload", "tunnel"): prev}}
+    merged.setdefault("workloads", {})[which] = rec
     with open(path, "w") as f:
-        json.dump(rec, f, indent=1)
+        json.dump(merged, f, indent=1)
     print(json.dumps(rec, indent=1))
     sys.exit(0 if ok else 1)
 
