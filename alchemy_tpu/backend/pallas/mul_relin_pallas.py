@@ -45,10 +45,8 @@ from alchemy_tpu.backend.ntt_mxu3 import mxu3_tables
 from alchemy_tpu.backend.xla import shoup_const
 from alchemy_tpu.backend.pallas.ntt_pallas import (
     _M16,
-    _assemble_lo_hi,
     _assemble_w0_m,
     _matmul_sums,
-    _mod_matmul,
     _planes,
     _recombine_sums,
     _recombine_sums_fast,
@@ -78,7 +76,7 @@ _KB_LG = int(os.environ.get("ALCHEMY_KB_LG", "2"))
 #: (BASELINE.md floor accounting): "none" (default, bit-exact), "nohint"
 #: (skip the hint Shoup products), "notw" (skip the twiddle multiplies),
 #: "norecomb3" (skip the stage-3 plane recombination). Non-"none" values
-#: produce WRONG results — scripts/profile_kb_phases.py only.
+#: produce WRONG results — timing probes only, never correctness runs.
 _KB_ABLATE = os.environ.get("ALCHEMY_KB_ABLATE", "none")
 
 #: software-pipeline the ct-major limb groups: issue group g+1's stacked
