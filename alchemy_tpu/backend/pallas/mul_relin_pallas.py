@@ -83,6 +83,14 @@ _KB_ABLATE = os.environ.get("ALCHEMY_KB_ABLATE", "none")
 #: stage-1 MXU dots before group g's VPU phase (measured experiment)
 _KB_PIPE = os.environ.get("ALCHEMY_KB_PIPE", "0") == "1"
 
+#: ct-major applicability bounds. Experiment knobs: 2^16/r=4 needs
+#: LANES=4096, HINT_MB=70 and VMEM_MB=120 — it compiles and is
+#: bit-identical but measured a WASH vs the limb-major kernel (2018 vs
+#: 2035 ops/s at L=8/Bt=8), so the defaults keep 2^16 limb-major
+_KB_CTMAJOR_LANES = int(os.environ.get("ALCHEMY_KB_CTMAJOR_LANES", "2048"))
+_KB_CTMAJOR_HINT_MB = float(os.environ.get("ALCHEMY_KB_CTMAJOR_HINT_MB", "40"))
+_KB_VMEM_MB = int(os.environ.get("ALCHEMY_KB_VMEM_MB", "100"))
+
 
 def _mulmod_gen(a, b, q, r16, r16s, r32, r32s):
     """General a·b mod q for canonical a, b < q < 2^31 (exact; same residue
@@ -680,7 +688,7 @@ def _mul_relin_ctmajor(p, t, c0, c1, c2c, hint_b, hint_a):
     out = pl.pallas_call(
         partial(_digit_relin_ctmajor_kernel, r=r, B=B, L=L, lg=lg),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(100 << 20)),
+            vmem_limit_bytes=(_KB_VMEM_MB << 20)),
         grid=(Bt,),
         in_specs=[
             smem,
@@ -726,8 +734,8 @@ def _mul_relin_pallas_one(p, ct_a, ct_b, hint_b, hint_a):
     # independence — applies at the headline configs (single digit chunk,
     # Shoup hints that fit VMEM)
     hint_mb = 16 * L * L * n / (1 << 20)   # 4 u32 streams
-    if (_KB_CTMAJOR and shoup_hints and L * Br <= 2048
-            and hint_mb <= 40.0 and recombine_fast_ok(qs)):
+    if (_KB_CTMAJOR and shoup_hints and L * Br <= _KB_CTMAJOR_LANES
+            and hint_mb <= _KB_CTMAJOR_HINT_MB and recombine_fast_ok(qs)):
         return _mul_relin_ctmajor(p, t, c0, c1, c2c, hint_b, hint_a)
 
     # digit-chunked grid: dc digits per step (≤ 2048 lanes for the stage-1
