@@ -173,8 +173,12 @@ def main():
     # and dispatch amortize across the batch). The single-ct latency is
     # measured separately and recorded as latency_1ct in the JSON.
     batch = int(os.environ.get("BENCH_BATCH", "16"))
-    # chain>1 fuses dependent ops into one XLA program; measured SLOWER on
-    # the tunneled v5e (buffer pressure beats dispatch savings) — default 1
+    # chain>1 fuses dependent ops into one XLA program. With the round-5
+    # kernels this is FASTER (chain=4: 4907 ops/s vs 4589 — the inner ops
+    # skip the per-call jit-boundary relayout copies), matching the deep-
+    # chain-compiled-whole workload shape; the default stays 1 so the
+    # headline metric remains per-op like earlier rounds (BENCH_CHAIN=4
+    # reproduces the fused-chain number)
     chain = int(os.environ.get("BENCH_CHAIN", "1"))
     # "hybrid": dnum-grouped key-switching over a special modulus
     # (she/hybrid.py) — the right choice at deep chains (BENCH_NLIMB >= 12)
