@@ -209,6 +209,7 @@ class JitCompiled:
             for ct in example_cts
         ]
         self.bk = example_cts[0].bk
+        self.aot_loaded = False
         # limb padding: a chain length not divisible by the 'limb' mesh axis
         # cannot be sharded at the jit boundary (JAX rejects uneven input
         # shardings). Pad such arrays with zero rows to the next multiple —
@@ -365,6 +366,7 @@ class JitCompiled:
                 return False
             exp = jax_export.deserialize(blob["exported"])
             self._jitted = jax.jit(lambda fi, c: exp.call(fi, c))
+            self.aot_loaded = True     # introspection/tests: replayed, no trace
             self.out_meta = blob["out_meta"]
             self.log_meta = blob["log_meta"]
             # introspection attribute stays valid (tracing the one-op

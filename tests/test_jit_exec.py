@@ -197,3 +197,42 @@ def test_sharding_fallback_warns_not_silent():
         _auto_sharding(jnp.zeros((5, 64), jnp.uint32), mesh)  # 5 % 2 != 0
     with pytest.warns(ShardingFallbackWarning):
         _auto_sharding(jnp.zeros((4, 66), jnp.uint32), mesh)  # 66 % 4 != 0
+
+
+def test_aot_export_cache_roundtrip(tmp_path, monkeypatch):
+    """The AOT export cache (VERDICT r4 #4b): the first build of a compiled
+    program writes an artifact; a SECOND build of the same program loads it
+    (aot_loaded — no evaluator trace) and produces bit-identical outputs.
+    A source-fingerprint mismatch must MISS (stale artifacts never
+    replay)."""
+    import alchemy_tpu.interp.jit_exec as jx
+    from alchemy_tpu.examples.arithmetic import M, M_MAP, PT, ZP, ZQS, addMul
+    from alchemy_tpu.she.gadget import TrivGad
+
+    monkeypatch.setenv("ALCHEMY_AOT_CACHE", str(tmp_path))
+    rng = np.random.default_rng(4)
+    bk = XB
+    pt1 = Cyc.from_coeffs(M, (ZP,), rng.integers(0, ZP, totient(M)), bk)
+    pt2 = Cyc.from_coeffs(M, (ZP,), rng.integers(0, ZP, totient(M)), bk)
+    ctx = KeysHints(3.0, seed=4, bk=bk)
+    compiled = pt2ct(addMul, res_ty=PT, m_map=M_MAP, zqs=ZQS, gad=TrivGad(),
+                     ctx=ctx)
+    a1 = compiled.encrypt_arg(pt1, 0)
+    a2 = compiled.encrypt_arg(pt2, 1)
+
+    j1 = jit_compile(compiled, [a1, a2])
+    assert not j1.aot_loaded                       # first build: traced+saved
+    assert list(tmp_path.glob("*.aot")), "no artifact written"
+    out1 = j1(a1, a2)
+
+    j2 = jit_compile(compiled, [a1, a2])
+    assert j2.aot_loaded, "second build did not replay the artifact"
+    out2 = j2(a1, a2)
+    for c1, c2 in zip(out1.comps, out2.comps):
+        assert np.array_equal(np.asarray(c1.data), np.asarray(c2.data))
+    assert compiled.decrypt(out2).equals(eval_ir(addMul, pt1, pt2))
+
+    # a different source fingerprint must miss (never replay stale code)
+    monkeypatch.setattr(jx, "_SRC_FINGERPRINT", "different")
+    j3 = jit_compile(compiled, [a1, a2])
+    assert not j3.aot_loaded
